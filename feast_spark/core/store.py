@@ -1,0 +1,343 @@
+"""FeatureStore: registry + historical retrieval + materialization entry.
+
+Re-implements the reference's two retrieval paths
+(FeatureStore.get_historical_features feature_store.py:1216-1345 and the
+SparkComputeEngine DAG compute.py:218-254 / feature_builder.py:85-146)
+as one Spark-first plan builder:
+
+    per view:  load → [transform udf] → [filter] → [aggregate] → PIT join
+    finally:   fan-in left joins on the spine row id → [ODFV mapInPandas]
+
+Differences from the reference, deliberate:
+* no SQL templating / temp-view staging — one lazy DataFrame plan end to
+  end, so Catalyst sees everything (pushdown, join reorder, AQE);
+* ODFV transforms run distributed via ``mapInPandas`` instead of
+  driver-side pandas (offline_store.py:155-167);
+* the synthetic string row id (spark.py:683-688) is replaced by an
+  internal ``monotonically_increasing_id``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.core.feature_view import (
+    Aggregation,
+    FeatureService,
+    FeatureView,
+    OnDemandFeatureView,
+)
+from feast_spark.operators.asof_join import SPINE_ROW_ID, _with_row_id, point_in_time_join
+from feast_spark.operators.windows import agg_fn, tumbling_agg
+
+TIMESTAMP_TYPES = ("timestamp", "timestamp_ntz")
+
+
+def infer_event_timestamp_col(df: DataFrame) -> str:
+    """Reference offline_utils.py:28-44: prefer ``event_timestamp``, else
+    the single timestamp-typed column; ambiguous → error."""
+    if "event_timestamp" in df.columns:
+        return "event_timestamp"
+    ts_cols = [f.name for f in df.schema.fields if f.dataType.typeName() in TIMESTAMP_TYPES]
+    if len(ts_cols) == 1:
+        return ts_cols[0]
+    raise ValueError(
+        f"cannot infer entity timestamp column; candidates={ts_cols!r} — "
+        "provide an 'event_timestamp' column"
+    )
+
+
+class RetrievalJob:
+    """Lazy handle on a retrieval plan (reference offline_store.py:73-295)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def to_spark_df(self) -> DataFrame:
+        return self._df
+
+    def to_df(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self.to_df())
+
+    def persist(self, name: str) -> None:
+        """Save as a temp view (reference saved-dataset path,
+        spark.py:423-460)."""
+        self._df.createOrReplaceTempView(name)
+
+    def to_remote_storage(self, path: str) -> None:
+        """Staged parquet export (reference spark.py:465-515)."""
+        self._df.write.mode("overwrite").parquet(path)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+
+class FeatureStore:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._views: dict[str, FeatureView] = {}
+        self._odfvs: dict[str, OnDemandFeatureView] = {}
+        self._services: dict[str, FeatureService] = {}
+
+    # ------------------------------------------------------------- registry
+    def apply(self, objects: Iterable) -> None:
+        for obj in objects if isinstance(objects, (list, tuple)) else [objects]:
+            if isinstance(obj, OnDemandFeatureView):
+                self._odfvs[obj.name] = obj
+            elif isinstance(obj, FeatureService):
+                self._services[obj.name] = obj
+            elif isinstance(obj, FeatureView):
+                self._views[obj.name] = obj
+            else:
+                raise TypeError(f"cannot register {type(obj).__name__}")
+
+    def get_feature_view(self, name: str) -> FeatureView:
+        return self._views[name]
+
+    # ------------------------------------------------------- view resolution
+    def _build_view_df(self, view: FeatureView) -> DataFrame:
+        """Resolve a view to a DataFrame: derived-view DAG (reference
+        feature_resolver.py:28-95) then udf → filter → (aggregation spec
+        is applied later, against the spine window)."""
+        if view.source_views:
+            parents = [self._build_view_df(self._views[p.name] if isinstance(p, str) else p)
+                       for p in view.source_views]
+            if view.udf is not None:
+                df = view.udf(*parents)
+            else:
+                # default: sequential equi-join of parents on shared keys
+                df = parents[0]
+                for p in parents[1:]:
+                    shared = [c for c in df.columns if c in p.columns]
+                    df = df.join(p, on=shared, how="left")
+        else:
+            df = view.source.load(self.spark)
+            if view.udf is not None:
+                df = view.udf(df)
+        if view.filter_expr:
+            df = df.filter(view.filter_expr)
+        return df
+
+    # --------------------------------------------------- historical retrieval
+    def get_historical_features(
+        self,
+        entity_df: DataFrame | pd.DataFrame,
+        features: Sequence[str] | FeatureService,
+        *,
+        full_feature_names: bool = False,
+        strategy: str = "join_dedup",
+        prune_window: bool = True,
+    ) -> RetrievalJob:
+        """Point-in-time-correct multi-view retrieval.
+
+        ``features`` are ``"view:feature"`` refs or a FeatureService.
+        ``prune_window``: compute spine min/max once (driver collect of 2
+        values, reference spark.py:543-579) and pre-filter every feature
+        scan to ``[min - ttl, max]`` so partition pruning kicks in — at
+        100 TB this is the difference between scanning a day and a year.
+        """
+        if isinstance(features, FeatureService):
+            features = list(features.features)
+        if isinstance(entity_df, pd.DataFrame):
+            entity_df = self.spark.createDataFrame(entity_df)
+
+        spine_ts = infer_event_timestamp_col(entity_df)
+        refs = _group_refs(features)
+
+        # validate ODFV request columns exist (feature_store.py:1316-1327)
+        for name in refs:
+            if name in self._odfvs:
+                for f in self._odfvs[name].request_schema:
+                    if f.name not in entity_df.columns:
+                        raise ValueError(
+                            f"on-demand view {name!r} requires request column "
+                            f"{f.name!r} missing from entity_df"
+                        )
+
+        bounds = None
+        if prune_window:
+            row = entity_df.agg(
+                F.min(spine_ts).alias("lo"), F.max(spine_ts).alias("hi")
+            ).first()
+            bounds = (row["lo"], row["hi"])
+
+        acc = _with_row_id(entity_df)
+        if not any(n in self._views for n in refs):
+            out = acc
+        for view_name, wanted in refs.items():
+            if view_name in self._odfvs:
+                continue  # applied post-join below
+            view = self._views[view_name]
+            fdf = self._build_view_df(view)
+            ts_col = view.timestamp_field
+            created = view.created_timestamp_column
+            if bounds is not None and bounds[0] is not None:
+                lo, hi = bounds
+                upper = F.col(ts_col) <= F.lit(hi)
+                if view.ttl_seconds > 0:
+                    lower = F.col(ts_col) >= (
+                        F.lit(lo) - F.expr(f"INTERVAL {view.ttl_seconds} SECONDS")
+                    )
+                    fdf = fdf.filter(upper & lower)
+                else:
+                    fdf = fdf.filter(upper)
+                # explicit partition-pruning predicate on the date partition
+                # column (reference spark.py:123-136, offline_utils.py:350-355)
+                pcol = getattr(view.source, "date_partition_column", None)
+                if pcol:
+                    lo_date = F.date_sub(
+                        F.lit(lo).cast("date"), view.ttl_seconds // 86400 + 1
+                    )
+                    fdf = fdf.filter(
+                        (F.col(pcol) >= lo_date) & (F.col(pcol) <= F.lit(hi).cast("date"))
+                    )
+
+            if view.aggregations:
+                fdf, ts_col, created = _apply_aggregations(
+                    fdf, view, ts_col
+                )
+
+            cols = wanted or view.feature_cols
+            res = point_in_time_join(
+                acc,
+                fdf,
+                view.join_keys,
+                cols,
+                spine_ts_col=spine_ts,
+                feature_ts_col=ts_col,
+                created_col=created,
+                ttl_seconds=view.ttl_seconds,
+                strategy=strategy,
+            )
+            out_cols = [c for c in res.columns if c not in acc.columns]
+            sel = res.select(SPINE_ROW_ID, *out_cols)
+            if full_feature_names:
+                for c in out_cols:
+                    sel = sel.withColumnRenamed(c, f"{view_name}__{c}")
+            acc = acc.join(sel, on=SPINE_ROW_ID, how="left")
+        out = acc.drop(SPINE_ROW_ID)
+
+        # ODFV transforms, distributed (mapInPandas) not driver-side
+        for name, wanted in refs.items():
+            if name in self._odfvs:
+                out = _apply_odfv(out, self._odfvs[name], wanted, full_feature_names)
+        return RetrievalJob(out)
+
+    # ----------------------------------------------------------- entity-map
+    def with_join_key_map(self, view: FeatureView, key_map: dict[str, str], name: str) -> FeatureView:
+        """Role-playing dimension: same view joined under renamed keys
+        (reference with_join_key_map, ibis.py:124-142)."""
+        from dataclasses import replace
+
+        from feast_spark.core.feature_view import Entity
+        from feast_spark.core.source import DataFrameSource
+
+        df = self._build_view_df(view)
+        sel = df.select(
+            *[F.col(c).alias(key_map.get(c, c)) for c in df.columns]
+        )
+        new_entities = [Entity(name=key_map.get(e.key, e.key)) for e in view.entities]
+        src = DataFrameSource(
+            df=sel,
+            timestamp_field=view.timestamp_field,
+            created_timestamp_column=view.created_timestamp_column,
+        )
+        return replace(view, name=name, entities=new_entities, source=src, source_views=())
+
+
+def _group_refs(features: Sequence[str]) -> dict[str, list[str] | None]:
+    """Parse ``view:feature`` refs → {view: [features] | None(=all)}
+    (reference utils._group_feature_refs, feature_store.py:1298-1313)."""
+    out: dict[str, list[str] | None] = {}
+    for ref in features:
+        if ":" in ref:
+            view, feat = ref.split(":", 1)
+            out.setdefault(view, [])
+            if out[view] is not None:
+                out[view].append(feat)
+        else:
+            out[ref] = None
+    return out
+
+
+def _apply_aggregations(
+    fdf: DataFrame, view: FeatureView, ts_col: str
+) -> tuple[DataFrame, str, str | None]:
+    """Execute the view's Aggregation spec (reference
+    SparkAggregationNode nodes.py:97-147, slide fixed).
+
+    * windowed aggs → tumbling/sliding windows per entity; each window's
+      features become valid at ``window_end`` (no leakage: a window is
+      only joinable once closed);
+    * plain aggs → one row per entity, valid at the entity's max ts.
+    """
+    keys = view.join_keys
+    windowed = [a for a in view.aggregations if a.time_window is not None]
+    plain = [a for a in view.aggregations if a.time_window is None]
+    if windowed and plain:
+        raise ValueError("mixing windowed and non-windowed aggregations in one view")
+    if windowed:
+        wsec = {int(a.time_window.total_seconds()) for a in windowed}
+        ssec = {
+            int(a.slide_interval.total_seconds()) if a.slide_interval else None
+            for a in windowed
+        }
+        if len(wsec) > 1 or len(ssec) > 1:
+            raise ValueError("all windowed aggregations in a view must share window/slide")
+        out = tumbling_agg(
+            fdf,
+            keys,
+            ts_col,
+            [(a.function, a.column) for a in windowed],
+            window_seconds=next(iter(wsec)),
+            slide_seconds=next(iter(ssec)),
+        )
+        return out.withColumnRenamed("window_end", "__agg_ts"), "__agg_ts", None
+    exprs = [agg_fn(a.function)(a.column).alias(a.output_name) for a in plain]
+    out = fdf.groupBy(*keys).agg(F.max(ts_col).alias("__agg_ts"), *exprs)
+    return out, "__agg_ts", None
+
+
+def _apply_odfv(
+    df: DataFrame,
+    odfv: OnDemandFeatureView,
+    wanted: list[str] | None,
+    full_feature_names: bool,
+) -> DataFrame:
+    """Append ODFV output columns via mapInPandas (Arrow-batched)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    out_fields = [f for f in odfv.output_fields if wanted is None or f.name in wanted]
+    new_struct = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(
+                f"{odfv.name}__{f.name}" if full_feature_names else f.name,
+                _parse_datatype_string(f.dtype),
+                True,
+            )
+            for f in out_fields
+        ]
+    )
+    udf = odfv.udf
+    names = [f.name for f in out_fields]
+    prefix = f"{odfv.name}__" if full_feature_names else ""
+
+    def apply(batches):
+        for pdf in batches:
+            extra = udf(pdf)
+            for n in names:
+                pdf[prefix + n] = extra[n]
+            yield pdf
+
+    return df.mapInPandas(apply, new_struct)

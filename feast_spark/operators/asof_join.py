@@ -1,0 +1,347 @@
+"""Point-in-time (as-of) join — the core operator of the engine.
+
+Semantics (matching the reference's get_historical_features, see
+spark_offline_store/spark.py:674-848 SQL template and
+offline_stores/dask.py:654-805 dataframe path):
+
+For each spine row ``(entity keys, event_timestamp)``:
+
+* candidate feature rows are those with the same entity keys and
+  ``feature.ts <= spine.event_timestamp`` (inclusive — temporal
+  no-leakage upper bound),
+* if ``ttl > 0``: additionally ``feature.ts >= spine.event_timestamp - ttl``,
+* among candidates keep the one with the greatest ``ts``; ties broken by
+  greatest ``created`` timestamp (backfill semantics,
+  test_universal_historical_retrieval.py:546-641),
+* spine rows with no candidate keep NULL feature values (left-join
+  preservation, dask.py:736-756),
+* output has exactly one row per spine row (multiplicity preserved).
+
+Physical strategies (selectable, all produce identical results):
+
+* ``join_dedup`` — conditional equi-join on keys + θ time filter, then
+  ``row_number()`` window dedup per spine row. Catalyst-native: the time
+  bounds push into the scan, AQE handles skew. Mirrors the reference's
+  SQL-template plan but as DataFrame ops.
+* ``merge_asof`` — cogrouped sorted-merge: both sides shuffled once by
+  entity key, then a vectorized Arrow-batched ``pd.merge_asof`` per
+  cogroup. One shuffle per side, no join explosion on hot keys with many
+  candidate rows. This is the scale path (the Ray store's windowed
+  sorted-merge, ray.py:799-920, reimagined on Spark cogroup).
+* ``broadcast`` — ``join_dedup`` with an explicit broadcast hint on the
+  feature side for small dimension tables (Ray's 100 MB threshold path,
+  ray.py:437-448).
+
+Scale notes (100 TB design): both sides arrive partitioned by entity
+key; ``merge_asof`` performs exactly one hash shuffle per input and a
+linear merge per group — no quadratic blow-up when a hot doc_id has
+thousands of feature versions in the TTL window. ``join_dedup``'s
+intermediate is |matches| rows, which AQE skew-split handles; prefer
+``merge_asof`` when feature-version fan-out per key is large.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SPINE_ROW_ID = "__feast_spine_row_id"
+_ENTITY_TS_TAG = "__feast_entity_ts"
+DUMMY_ENTITY_COL = "__dummy_id"
+
+
+def _with_row_id(spine: DataFrame) -> DataFrame:
+    """Attach a unique internal row id preserving spine multiplicity.
+
+    ``monotonically_increasing_id`` is partition-stable and never
+    collected driver-side; it exists only for the duration of the query
+    (the reference instead builds a string-concat ``entity_row_unique_id``,
+    spark.py:683-688 — a SQL-templating artifact we do not need).
+    """
+    return spine.withColumn(SPINE_ROW_ID, F.monotonically_increasing_id())
+
+
+def _ttl_lower_bound(ts_col: str, entity_ts: Column, ttl_seconds: int | None) -> Column:
+    cond = F.col(ts_col) <= entity_ts
+    if ttl_seconds and ttl_seconds > 0:
+        cond = cond & (
+            F.col(ts_col) >= entity_ts - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+        )
+    return cond
+
+
+def point_in_time_join(
+    spine: DataFrame,
+    features: DataFrame,
+    join_keys: Sequence[str],
+    feature_cols: Sequence[str] | None = None,
+    *,
+    spine_ts_col: str = "event_timestamp",
+    feature_ts_col: str = "event_timestamp",
+    created_col: str | None = None,
+    ttl_seconds: int | None = None,
+    strategy: str = "join_dedup",
+    include_feature_ts: bool = False,
+    tie_breaker_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of join ``features`` onto ``spine`` (see module docstring).
+
+    ``feature_cols`` default: every feature column that is not a join key
+    or timestamp. ``tie_breaker_cols`` optionally adds deterministic
+    final tie-breaks after (ts, created) — needed when duplicate
+    (key, ts, created) rows exist and bit-exact reproducibility matters.
+    Returns spine columns + feature columns (+ ``feature_ts_col`` as
+    ``__feature_ts`` when ``include_feature_ts``).
+    """
+    join_keys = list(join_keys)
+    if not join_keys:
+        # Entityless view (reference DUMMY_ENTITY, feature_view.py:49-58):
+        # degrade to an as-of join on timestamp alone via a constant key.
+        spine = spine.withColumn(DUMMY_ENTITY_COL, F.lit(""))
+        features = features.withColumn(DUMMY_ENTITY_COL, F.lit(""))
+        out = point_in_time_join(
+            spine,
+            features,
+            [DUMMY_ENTITY_COL],
+            feature_cols,
+            spine_ts_col=spine_ts_col,
+            feature_ts_col=feature_ts_col,
+            created_col=created_col,
+            ttl_seconds=ttl_seconds,
+            strategy=strategy,
+            include_feature_ts=include_feature_ts,
+            tie_breaker_cols=tie_breaker_cols,
+        )
+        return out.drop(DUMMY_ENTITY_COL)
+
+    excluded = set(join_keys) | {feature_ts_col}
+    if created_col:
+        excluded.add(created_col)
+    if feature_cols is None:
+        feature_cols = [c for c in features.columns if c not in excluded]
+    feature_cols = list(feature_cols)
+
+    if strategy in ("join_dedup", "broadcast"):
+        return _pit_join_dedup(
+            spine,
+            features,
+            join_keys,
+            feature_cols,
+            spine_ts_col,
+            feature_ts_col,
+            created_col,
+            ttl_seconds,
+            broadcast=(strategy == "broadcast"),
+            include_feature_ts=include_feature_ts,
+            tie_breaker_cols=tie_breaker_cols,
+        )
+    if strategy == "merge_asof":
+        return _pit_merge_asof(
+            spine,
+            features,
+            join_keys,
+            feature_cols,
+            spine_ts_col,
+            feature_ts_col,
+            created_col,
+            ttl_seconds,
+            include_feature_ts=include_feature_ts,
+            tie_breaker_cols=tie_breaker_cols,
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _pit_join_dedup(
+    spine: DataFrame,
+    features: DataFrame,
+    join_keys: list[str],
+    feature_cols: list[str],
+    spine_ts_col: str,
+    feature_ts_col: str,
+    created_col: str | None,
+    ttl_seconds: int | None,
+    *,
+    broadcast: bool,
+    include_feature_ts: bool,
+    tie_breaker_cols: Sequence[str],
+) -> DataFrame:
+    s = _with_row_id(spine)
+    # Column pruning before the shuffle: keys + ts + features only
+    # (reference does the same via _get_column_names, utils.py:145-207).
+    f_needed = list(
+        dict.fromkeys(
+            join_keys
+            + [feature_ts_col]
+            + ([created_col] if created_col else [])
+            + feature_cols
+            + list(tie_breaker_cols)
+        )
+    )
+    f = features.select(*f_needed)
+    if broadcast:
+        f = F.broadcast(f)
+
+    spine_side = s.select(
+        *join_keys, F.col(spine_ts_col).alias(_ENTITY_TS_TAG), SPINE_ROW_ID
+    )
+    cond = _ttl_lower_bound(feature_ts_col, F.col(_ENTITY_TS_TAG), ttl_seconds)
+    joined = spine_side.join(f, on=join_keys, how="inner").filter(cond)
+
+    order = [F.col(feature_ts_col).desc()]
+    if created_col:
+        order.append(F.col(created_col).desc())
+    order += [F.col(c).desc() for c in tie_breaker_cols]
+    w = Window.partitionBy(SPINE_ROW_ID).orderBy(*order)
+    latest = (
+        joined.withColumn("__feast_rn", F.row_number().over(w))
+        .filter(F.col("__feast_rn") == 1)
+        .select(
+            SPINE_ROW_ID,
+            *feature_cols,
+            F.col(feature_ts_col).alias("__feature_ts"),
+        )
+    )
+    out = s.join(latest, on=SPINE_ROW_ID, how="left")
+    keep = spine.columns + feature_cols + (["__feature_ts"] if include_feature_ts else [])
+    return out.select(*keep)
+
+
+def _pit_merge_asof(
+    spine: DataFrame,
+    features: DataFrame,
+    join_keys: list[str],
+    feature_cols: list[str],
+    spine_ts_col: str,
+    feature_ts_col: str,
+    created_col: str | None,
+    ttl_seconds: int | None,
+    *,
+    include_feature_ts: bool,
+    tie_breaker_cols: Sequence[str],
+) -> DataFrame:
+    """Cogrouped sorted-merge as-of join (Arrow-vectorized, one shuffle/side)."""
+    s = _with_row_id(spine)
+    f_needed = list(
+        dict.fromkeys(
+            join_keys
+            + [feature_ts_col]
+            + ([created_col] if created_col else [])
+            + feature_cols
+            + list(tie_breaker_cols)
+        )
+    )
+    f = features.select(*f_needed)
+
+    out_schema_fields = (
+        [s.schema[c] for c in s.columns]
+        + [f.schema[c] for c in feature_cols]
+        + [f.schema[feature_ts_col]]
+    )
+    from pyspark.sql import types as T
+
+    out_fields = []
+    for fld in out_schema_fields[: len(s.columns) + len(feature_cols)]:
+        out_fields.append(T.StructField(fld.name, fld.dataType, True))
+    out_fields.append(T.StructField("__feature_ts", T.TimestampType(), True))
+    out_schema = T.StructType(out_fields)
+
+    spine_cols = list(s.columns)
+    ttl = int(ttl_seconds) if ttl_seconds else 0
+    created = created_col
+    tiebreaks = list(tie_breaker_cols)
+    fcols = list(feature_cols)
+    f_ts = feature_ts_col
+    s_ts = spine_ts_col
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        left = left.sort_values(s_ts, kind="mergesort")
+        if right.empty:
+            res = left.copy()
+            for c in fcols:
+                res[c] = None
+            res["__feature_ts"] = pd.NaT
+            return res[[*spine_cols, *fcols, "__feature_ts"]]
+        # Sort so the LAST row per feature-ts run is the created-ts winner:
+        # merge_asof(direction backward) picks the last sorted row with
+        # ts <= entity_ts, so ascending (ts, created, *tiebreaks) encodes
+        # the (max ts, then max created) selection rule.
+        sort_cols = [f_ts] + ([created] if created else []) + tiebreaks
+        right = right.sort_values(sort_cols, kind="mergesort")
+        right_sel = right[[f_ts, *fcols]].rename(columns={f_ts: "__feature_ts"})
+        merged = pd.merge_asof(
+            left,
+            right_sel,
+            left_on=s_ts,
+            right_on="__feature_ts",
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=pd.Timedelta(seconds=ttl) if ttl > 0 else None,
+        )
+        # merge_asof fills no-match rows with NaN; normalize to None /
+        # nullable dtypes so the Arrow schema (array<int>, int, ...) holds.
+        miss = merged["__feature_ts"].isna()
+        if miss.any():
+            for c in fcols:
+                merged[c] = merged[c].astype(object)
+                merged.loc[miss, c] = None
+        for fld in out_schema.fields:
+            if fld.name in fcols and fld.dataType.typeName() in ("integer", "long"):
+                tgt = "Int32" if fld.dataType.typeName() == "integer" else "Int64"
+                merged[fld.name] = pd.array(
+                    [None if v is None or (isinstance(v, float) and pd.isna(v)) else int(v)
+                     for v in merged[fld.name]],
+                    dtype=tgt,
+                )
+        return merged[[*spine_cols, *fcols, "__feature_ts"]]
+
+    grouped = s.groupBy(*join_keys).cogroup(f.groupBy(*join_keys))
+    merged = grouped.applyInPandas(lambda left, right: merge(left, right), out_schema)
+
+    keep = spine.columns + fcols + (["__feature_ts"] if include_feature_ts else [])
+    return merged.select(*keep)
+
+
+def multi_view_pit_join(
+    spine: DataFrame,
+    views: Iterable[tuple[DataFrame, Sequence[str], dict]],
+    *,
+    spine_ts_col: str = "event_timestamp",
+    strategy: str = "join_dedup",
+) -> DataFrame:
+    """Join several feature views onto one spine, each with PIT semantics.
+
+    ``views`` yields ``(features_df, join_keys, opts)`` where ``opts`` may
+    carry ``feature_cols``, ``feature_ts_col``, ``created_col``,
+    ``ttl_seconds``, ``prefix``. Results are accumulated on the spine via
+    the internal row id — the fan-out/fan-in plan of the reference's
+    SparkJoinNode (compute_engines/spark/nodes.py:150-211) without the
+    string row-key artifact.
+    """
+    acc = _with_row_id(spine)
+    base = acc
+    for features, join_keys, opts in views:
+        prefix = opts.get("prefix")
+        res = point_in_time_join(
+            base,
+            features,
+            join_keys,
+            opts.get("feature_cols"),
+            spine_ts_col=spine_ts_col,
+            feature_ts_col=opts.get("feature_ts_col", "event_timestamp"),
+            created_col=opts.get("created_col"),
+            ttl_seconds=opts.get("ttl_seconds"),
+            strategy=opts.get("strategy", strategy),
+        )
+        new_cols = [c for c in res.columns if c not in base.columns]
+        sel = res.select(SPINE_ROW_ID, *new_cols)
+        if prefix:
+            for c in new_cols:
+                sel = sel.withColumnRenamed(c, f"{prefix}__{c}")
+        acc = acc.join(sel, on=SPINE_ROW_ID, how="left")
+    return acc.drop(SPINE_ROW_ID)
