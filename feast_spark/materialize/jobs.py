@@ -1,0 +1,195 @@
+"""Materialization / backfill jobs with per-partition lineage and
+idempotent resume.
+
+Reference behavior being re-expressed:
+* ``pull_latest_from_table_or_query`` — window-dedup of the latest row
+  per entity key within ``[start, end]`` (spark_offline_store/
+  spark.py:79-147);
+* ``materialize`` / ``materialize_incremental`` driving it per view
+  (feature_store.py:1555-1781, compute_engines/spark/compute.py:88-130).
+
+What the reference lacks and the north rule mandates: **checkpointed,
+resumable backfills**. The unit of work is a date partition of the
+feature source (``days(event_timestamp)`` — matching Iceberg's hidden
+daily partitioning). For every partition we record a manifest entry
+``{partition, rows, bytes, status, attempt}``; a restarted job skips
+completed partitions (idempotent resume), so a 10^12-row backfill that
+dies at partition 700/1000 restarts at 701 instead of 1.
+
+Scale notes: the per-day loop is driver-side but bounded (days, not
+rows); each day's compute+write is fully distributed. Day-level write
+granularity also bounds task retry blast radius and lets the cluster
+pipeline compute with commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.operators.dedup import latest_row_dedup
+
+
+def pull_latest(
+    df: DataFrame,
+    join_keys: list[str],
+    ts_col: str,
+    created_col: str | None,
+    start=None,
+    end=None,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """Latest row per entity key with ``ts`` in ``[start, end]``
+    (reference spark.py:79-147: ROW_NUMBER window + rn=1)."""
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(ts_col) <= F.lit(end))
+    if feature_cols:
+        df = df.select(
+            *join_keys, ts_col, *([created_col] if created_col else []), *feature_cols
+        )
+    return latest_row_dedup(df, join_keys, ts_col, created_col)
+
+
+@dataclass
+class MaterializationManifest:
+    """Per-partition lineage ledger stored as JSON files under
+    ``<root>/_manifest/`` (one file per partition → commit is an atomic
+    rename on HDFS/local; on S3 use a cloud-atomic committer)."""
+
+    root: str
+
+    @property
+    def dir(self) -> str:
+        return os.path.join(self.root, "_manifest")
+
+    def _path(self, partition: str) -> str:
+        return os.path.join(self.dir, f"{partition}.json")
+
+    def load(self) -> dict[str, dict]:
+        out = {}
+        if os.path.isdir(self.dir):
+            for fn in os.listdir(self.dir):
+                if fn.endswith(".json"):
+                    with open(os.path.join(self.dir, fn)) as f:
+                        e = json.load(f)
+                    out[e["partition"]] = e
+        return out
+
+    def completed(self) -> set[str]:
+        return {p for p, e in self.load().items() if e.get("status") == "done"}
+
+    def record(self, partition: str, rows: int, bytes_: int, status: str = "done") -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self._path(partition) + ".tmp"
+        entry = {
+            "partition": partition,
+            "rows": int(rows),
+            "bytes": int(bytes_),
+            "status": status,
+        }
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, self._path(partition))
+
+    def high_watermark(self) -> str | None:
+        done = sorted(self.completed())
+        return done[-1] if done else None
+
+    def metrics(self) -> dict:
+        entries = self.load()
+        return {
+            "partitions": len(entries),
+            "rows": sum(e["rows"] for e in entries.values()),
+            "bytes": sum(e["bytes"] for e in entries.values()),
+        }
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+@dataclass
+class MaterializationResult:
+    written: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    rows: int = 0
+
+
+def materialize_view(
+    spark: SparkSession,
+    features: DataFrame,
+    out_path: str,
+    join_keys: list[str],
+    ts_col: str = "event_timestamp",
+    created_col: str | None = None,
+    start=None,
+    end=None,
+    *,
+    only_latest: bool = True,
+    repartition: int | None = None,
+    fail_after_partition: str | None = None,
+) -> MaterializationResult:
+    """Materialize ``features`` to date-partitioned parquet with manifest
+    checkpointing; re-running skips completed partitions.
+
+    ``only_latest`` applies the latest-per-key dedup WITHIN each day
+    partition (snapshot-per-day semantics, keeping the job
+    embarrassingly parallel across days; the reference's
+    ``only_latest`` materialization is per-window too,
+    compute.py:88-130). ``repartition`` mirrors the reference's
+    ``partitions`` config knob (compute.py:197-200).
+    ``fail_after_partition`` is a test hook for crash-resume testing.
+    """
+    manifest = MaterializationManifest(out_path)
+    done = manifest.completed()
+
+    df = features
+    if start is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(ts_col) <= F.lit(end))
+    df = df.withColumn("__day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+
+    # one distributed pass to enumerate pending work + row lineage
+    day_counts = {
+        r["__day"]: r["cnt"]
+        for r in df.groupBy("__day").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    res = MaterializationResult()
+    for day in sorted(day_counts):
+        if day in done:
+            res.skipped.append(day)
+            continue
+        part = df.filter(F.col("__day") == day).drop("__day")
+        if only_latest:
+            part = latest_row_dedup(part, join_keys, ts_col, created_col)
+        if repartition:
+            part = part.repartition(repartition, *join_keys)
+        target = os.path.join(out_path, f"day={day}")
+        part.write.mode("overwrite").parquet(target)
+        rows = spark.read.parquet(target).count()
+        manifest.record(day, rows, _dir_bytes(target))
+        res.written.append(day)
+        res.rows += rows
+        if fail_after_partition is not None and day >= fail_after_partition:
+            raise RuntimeError(f"injected failure after partition {day}")
+    return res
+
+
+def read_materialized(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.option("basePath", out_path).parquet(
+        os.path.join(out_path, "day=*")
+    )
