@@ -1,38 +1,805 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the feast_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data pipeline ops), each runnable at any
+sf dir; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Columns
+are aliased identically on both sides; timestamps are exported as epoch
+seconds (bigint), counts as bigint, floats rounded to 6 digits so the
+driver's order-insensitive value-hash compares cleanly across engines.
+
+Determinism notes: ROW_NUMBER tie-breaks always include a unique id;
+hash-based ops use the portable md5 hash (identical in Spark and
+DuckDB); approximate ops (LSH/IVF/simhash-pairs) have no SQL oracle and
+are recorded rows-only — their accuracy is golden-tested against exact
+variants in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TTL_7D = 7 * 86400
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _epoch(col):
+    # events.parquet carries TIMESTAMP_NTZ; cast via timestamp (session
+    # tz pinned to UTC) since Spark 4 forbids direct ntz→long casts
+    return F.col(col).cast("timestamp").cast("long")
+
+
+# --------------------------------------------------------------------------
+# Core feast semantics: PIT/as-of join, dedup, windows, sessions
+# --------------------------------------------------------------------------
+
+def q_pit_latest_click(spark: SparkSession, sf_dir: str, strategy: str = "join_dedup") -> DataFrame:
+    """As-of join: for each purchase event, the latest click value of the
+    same user within a 7-day TTL."""
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    ev = _events(spark, sf_dir)
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("value").alias("click_value"),
+        "event_id",
+    )
+    out = point_in_time_join(
+        spine,
+        clicks,
+        ["user_id"],
+        ["click_value"],
+        ttl_seconds=TTL_7D,
+        strategy=strategy,
+        tie_breaker_cols=["event_id"],
+    )
+    return out.select(
+        "spine_id", "user_id", _epoch("event_timestamp").alias("ts_epoch"), "click_value"
+    )
+
+
+_PIT_ORACLE = f"""
+WITH spine AS (
+  SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
+), feats AS (
+  SELECT user_id, ts fts, value, event_id FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY f.fts DESC, f.event_id DESC) rn
+  FROM spine s JOIN feats f
+    ON f.user_id = s.user_id AND f.fts <= s.ts AND f.fts >= s.ts - INTERVAL 7 DAY
+)
+SELECT s.sid AS spine_id, s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       r.value AS click_value
+FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r ON s.sid = r.sid
+"""
+
+
+def q_pit_merge_asof(spark, sf_dir):
+    """Same semantics via the cogrouped sorted-merge (Arrow merge_asof)
+    physical strategy — shares the join_dedup oracle."""
+    return q_pit_latest_click(spark, sf_dir, strategy="merge_asof")
+
+
+def q_pit_multi_view(spark, sf_dir):
+    """Multi-view fan-in: purchases enriched with latest click AND view
+    values (two PIT joins accumulated on the spine)."""
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    ev = _events(spark, sf_dir)
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+
+    def feat(etype, alias):
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("ts").alias("event_timestamp"),
+            F.col("value").alias(alias),
+            "event_id",
+        )
+
+    a = point_in_time_join(
+        spine, feat("click", "click_value"), ["user_id"], ["click_value"],
+        ttl_seconds=TTL_7D, tie_breaker_cols=["event_id"],
+    )
+    b = point_in_time_join(
+        a, feat("view", "view_value"), ["user_id"], ["view_value"],
+        ttl_seconds=TTL_7D, tie_breaker_cols=["event_id"],
+    )
+    return b.select(
+        "spine_id", "user_id", _epoch("event_timestamp").alias("ts_epoch"),
+        "click_value", "view_value",
+    )
+
+
+_PIT_MULTI_ORACLE = """
+WITH spine AS (
+  SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY f.ts DESC, f.event_id DESC) rn
+  FROM spine s JOIN events f
+    ON f.event_type = 'click' AND f.user_id = s.user_id
+   AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 7 DAY
+), v AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY f.ts DESC, f.event_id DESC) rn
+  FROM spine s JOIN events f
+    ON f.event_type = 'view' AND f.user_id = s.user_id
+   AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 7 DAY
+)
+SELECT s.sid AS spine_id, s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       c.value AS click_value, v.value AS view_value
+FROM spine s
+LEFT JOIN (SELECT sid, value FROM c WHERE rn = 1) c ON s.sid = c.sid
+LEFT JOIN (SELECT sid, value FROM v WHERE rn = 1) v ON s.sid = v.sid
+"""
+
+
+def q_pull_latest(spark, sf_dir):
+    """Materialization dedup: latest event per user (max ts, tie-break
+    max event_id)."""
+    from feast_spark.materialize.jobs import pull_latest
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "value", "event_id")
+    out = pull_latest(ev, ["user_id"], "ts", "event_id")
+    return out.select(
+        "user_id", _epoch("ts").alias("ts_epoch"), "event_type", "value", "event_id"
+    )
+
+
+_PULL_LATEST_ORACLE = """
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) ts_epoch, event_type, value, event_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    """lag/lead feature engineering per user over event time."""
+    from feast_spark.operators.windows import lag_lead_features
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    out = lag_lead_features(
+        ev, ["user_id"], "ts", ["value"], offsets=[1], order_tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "value_lag1", "value_lead1")
+
+
+_LAG_LEAD_ORACLE = """
+SELECT event_id, user_id,
+       LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead1
+FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (1h gap) per user."""
+    from feast_spark.operators.windows import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    out = sessionize(ev, ["user_id"], "ts", 3600, order_tiebreak=["event_id"])
+    return out.select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+FROM flagged
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session aggregates (start/end/duration/n_events/sum value)."""
+    from feast_spark.operators.windows import session_stats
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    out = session_stats(ev, ["user_id"], "ts", 3600, aggs=[("sum", "value")])
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        _epoch("session_start").alias("start_epoch"),
+        _epoch("session_end").alias("end_epoch"),
+        F.col("duration_s").cast("double").alias("duration_s"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+_SESSION_STATS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) session_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) start_epoch,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) end_epoch,
+       epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_s,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_tumbling_agg(spark, sf_dir):
+    """6h tumbling window sum/count of value per user."""
+    from feast_spark.operators.windows import tumbling_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tumbling_agg(ev, ["user_id"], "ts", [("sum", "value"), ("count", "value")], 21600)
+    return out.select(
+        "user_id",
+        _epoch("window_start").alias("ws_epoch"),
+        F.round("sum_value_21600s", 6).alias("sum_value"),
+        F.col("count_value_21600s").cast("long").alias("n"),
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS ws_epoch,
+       round(SUM(value), 6) AS sum_value,
+       COUNT(value) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_agg(spark, sf_dir):
+    """4h window sliding by 1h: count of events per user per window."""
+    from feast_spark.operators.windows import tumbling_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = tumbling_agg(
+        ev, ["user_id"], "ts", [("count", "value")], 14400, slide_seconds=3600
+    )
+    return out.select(
+        "user_id",
+        _epoch("window_start").alias("ws_epoch"),
+        F.col("count_value_14400s").cast("long").alias("n"),
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT user_id,
+       CAST((floor(epoch(ts) / 3600) - k.k) * 3600 AS BIGINT) AS ws_epoch,
+       COUNT(*) AS n
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1, 2
+"""
+
+
+def q_rolling_trailing(spark, sf_dir):
+    """Per-event trailing 24h sum of value per user (range frame)."""
+    from feast_spark.operators.windows import rolling_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    out = rolling_agg(ev, ["user_id"], "ts", [("sum", "value")], 86400)
+    return out.select(
+        "event_id", "user_id", F.round("sum_value_trailing86400s", 6).alias("trailing_sum")
+    )
+
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       round(SUM(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 6) AS trailing_sum
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational basics over the TPC-H-ish tables (scan/filter/agg/join parity)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (scan + filter + grouped agg)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return out
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_orders(spark, sf_dir):
+    """Broadcast dim join + agg: order totals per market segment."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return out
+
+
+_CUSTOMER_ORDERS_ORACLE = """
+SELECT c_mktsegment, COUNT(*) n_orders, round(SUM(o_totalprice), 2) total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    from feast_spark.pipeline.text import token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        token_count(F.col("text"), "bpe").cast("long").alias("bpe_tokens"),
+    )
+
+
+_TOKEN_COUNTS_ORACLE = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    from feast_spark.pipeline.text import quality_features
+
+    d = quality_features(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> lower(x) IN ('the','and','of','a','to','in','is','that','it','for'))) AS stops
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_words,
+         round(punct  / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END), 6) AS punct_ratio,
+         round(digits / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END), 6) AS digit_ratio,
+         round(uppers / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END), 6) AS upper_ratio,
+         round(stops  / (CASE WHEN n_words > 0 THEN CAST(n_words AS DOUBLE) ELSE 1.0 END), 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_words, punct_ratio, digit_ratio, upper_ratio, stopword_ratio,
+       round((CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN digit_ratio < 0.3 THEN 0.1 ELSE 0.0 END), 6) AS quality_score
+FROM r
+"""
+
+
+def q_lang_detect(spark, sf_dir):
+    from feast_spark.pipeline.text import detect_language
+
+    return detect_language(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+def _lang_hits(markers):
+    return " + ".join(
+        f"(CASE WHEN contains(concat(' ', lower(text), ' '), '{m}') THEN 1 ELSE 0 END)"
+        for m in markers
+    )
+
+
+_LANG_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_lang_hits([' the ', ' and ', ' of '])} AS en,
+         {_lang_hits([' le ', ' la ', ' et ', ' les '])} AS fr,
+         {_lang_hits([' der ', ' und ', ' die '])} AS de,
+         {_lang_hits([' el ', ' los ', ' que ', ' y '])} AS es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, fr, de, es) = 0 THEN 'unknown'
+            WHEN en = greatest(en, fr, de, es) THEN 'en'
+            WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+            WHEN de = greatest(en, fr, de, es) THEN 'de'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    from feast_spark.pipeline.dedup_text import exact_dup_groups
+
+    out = exact_dup_groups(_docs(spark, sf_dir))
+    return out.select(
+        "fingerprint",
+        F.col("representative").cast("long").alias("representative"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+_EXACT_DUP_ORACLE = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS representative, COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash(spark, sf_dir):
+    from feast_spark.pipeline.dedup_text import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=4, shingle_n=2)
+    return sigs.filter(F.col("signature").isNotNull()).select(
+        F.col("id").cast("long").alias("doc_id"),
+        *[F.col("signature")[i].alias(f"s{i}") for i in range(4)],
+    )
+
+
+def _minhash_oracle():
+    from feast_spark.pipeline.dedup_text import MERSENNE31, _affine_params
+
+    params = _affine_params(4, 1)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {MERSENNE31})) s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+                generate_series(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1])))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END shingles
+  FROM words
+), hs AS (
+  SELECT doc_id, list_transform(shingles,
+         s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE31}) hashes
+  FROM sh WHERE len(shingles) > 0
+)
+SELECT doc_id, {sig_exprs} FROM hs
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from feast_spark.pipeline.dedup_text import simhash
+
+    out = simhash(_docs(spark, sf_dir))
+    return out.filter(F.col("simhash").isNotNull()).select(
+        F.col("id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle():
+    bit_exprs = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(hashes,
+             h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"""
+        for i in range(32)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), hs AS (
+  SELECT doc_id, list_transform(w,
+         s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) hashes
+  FROM words WHERE len(w) > 0
+)
+SELECT doc_id, {bit_exprs} AS simhash FROM hs
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from feast_spark.pipeline.dedup_text import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+                generate_series(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1])))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END shingles
+  FROM words WHERE len(w) > 0
+), sizes AS (
+  SELECT doc_id, len(shingles) n FROM sh
+), posting AS (
+  SELECT doc_id, unnest(shingles) shingle FROM sh
+), common AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-3 neighbors for the first 20 vectors."""
+    from feast_spark.pipeline.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = brute_force_topk(queries, emb, k=3)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
+_EMB_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 20
+), pairs AS (
+  SELECT q.qid, e.vec_id nid,
+         round(
+           list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+           6) AS cosine
+  FROM q, embeddings e WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) rank
+  FROM pairs
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) rank, cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Exact embedding near-duplicate pairs, cosine >= 0.3 (the synthetic
+    corpus has max pairwise cosine ~0.51)."""
+    from feast_spark.pipeline.similarity import embedding_dup_pairs
+
+    out = embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.3, exact=True)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+_EMB_DUPS_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id id_a, b.vec_id id_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+           6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
+# ------------------- approximate ops: rows-only checks --------------------
+
+def q_lsh_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates verified by exact Jaccard
+    (probabilistic recall — no SQL oracle; golden-tested in
+    tests/test_pipeline_text.py)."""
+    from feast_spark.pipeline.dedup_text import lsh_candidate_pairs
+
+    out = lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8, shingle_n=2, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from feast_spark.pipeline.dedup_text import simhash_pairs
+
+    out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    from feast_spark.pipeline.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = lsh_topk(queries, emb, k=3, n_planes=8, dim=64, multiprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: binary blobs (synthesized from doc text) →
+    Arrow-batched decode/resize/pool via the deterministic fake codec."""
+    from feast_spark.pipeline.multimodal import image_features
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    out = image_features(d, decoder="fake")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-view PIT retrieval at sf0.001."""
+    return q_pit_multi_view(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pit_latest_click": q_pit_latest_click,
+        "pit_merge_asof": q_pit_merge_asof,
+        "pit_multi_view": q_pit_multi_view,
+        "pull_latest": q_pull_latest,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "tumbling_agg": q_tumbling_agg,
+        "sliding_agg": q_sliding_agg,
+        "rolling_trailing": q_rolling_trailing,
+        "pricing_summary": q_pricing_summary,
+        "customer_orders": q_customer_orders,
+        "token_counts": q_token_counts,
+        "quality_features": q_quality_features,
+        "lang_detect": q_lang_detect,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_dups": q_embedding_dups,
+        "lsh_dup_pairs": q_lsh_dup_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "image_features": q_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pit_latest_click": _PIT_ORACLE,
+        "pit_merge_asof": _PIT_ORACLE,
+        "pit_multi_view": _PIT_MULTI_ORACLE,
+        "pull_latest": _PULL_LATEST_ORACLE,
+        "lag_lead": _LAG_LEAD_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "session_stats": _SESSION_STATS_ORACLE,
+        "tumbling_agg": _TUMBLING_ORACLE,
+        "sliding_agg": _SLIDING_ORACLE,
+        "rolling_trailing": _ROLLING_ORACLE,
+        "pricing_summary": _PRICING_ORACLE,
+        "customer_orders": _CUSTOMER_ORDERS_ORACLE,
+        "token_counts": _TOKEN_COUNTS_ORACLE,
+        "quality_features": _QUALITY_ORACLE,
+        "lang_detect": _LANG_ORACLE,
+        "exact_dup_groups": _EXACT_DUP_ORACLE,
+        "minhash_signatures": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "embedding_topk": _EMB_TOPK_ORACLE,
+        "embedding_dups": _EMB_DUPS_ORACLE,
+        # lsh_dup_pairs / simhash_pairs / lsh_topk / image_features:
+        # approximate or non-SQL ops — rows-only checks by design.
+    }

@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline as-of-join + window-feature materialization job on the
+BASELINE.json-shaped synthetic token-sequence table, plus the operator
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line::
+
+    {"metric": "asof_window_materialization_throughput",
+     "value": <sequences/sec>, "unit": "seq/sec",
+     "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric matches BASELINE.json: sequences/sec through the
+full PIT-join + windowed-feature pipeline (lag/lead + trailing windows +
+sessionization materialized per spine row). Scaling-efficiency evidence
+(N vs 4N cores) is produced by ``tools/bench_scaling.py`` →
+``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# headline scale: ~SEQ_DOCS*SEQ_VERSIONS feature rows, SPINE_ROWS spine rows
+SEQ_DOCS = int(os.environ.get("BENCH_SEQ_DOCS", "100000"))
+SEQ_VERSIONS = int(os.environ.get("BENCH_SEQ_VERSIONS", "6"))
+SPINE_ROWS = int(os.environ.get("BENCH_SPINE_ROWS", "400000"))
+
+
+def _noop_write(df) -> None:
+    """Force full materialization of every column (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def headline_job(spark) -> tuple[float, int]:
+    """PIT as-of join (merge_asof scale path) of the spine against the
+    token-sequence table + windowed feature engineering, materialized.
+    Returns (seconds, spine_rows)."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.datagen import spark_entity_spine, spark_token_sequences
+    from feast_spark.operators.asof_join import point_in_time_join
+    from feast_spark.operators.windows import lag_lead_features, rolling_agg, sessionize
+
+    seqs = spark_token_sequences(spark, SEQ_DOCS, SEQ_VERSIONS)
+    spine = spark_entity_spine(spark, SPINE_ROWS, SEQ_DOCS)
+
+    t0 = time.monotonic()
+    joined = point_in_time_join(
+        spine,
+        seqs,
+        ["doc_id"],
+        ["tokens", "n_tok", "source"],
+        created_col="created",
+        ttl_seconds=3 * 86400,
+        strategy="merge_asof",
+    )
+    feats = lag_lead_features(
+        joined.filter(F.col("n_tok").isNotNull()),
+        ["doc_id"],
+        "event_timestamp",
+        ["n_tok"],
+        offsets=[1],
+    )
+    feats = rolling_agg(feats, ["doc_id"], "event_timestamp", [("sum", "n_tok")], 86400)
+    feats = sessionize(feats, ["doc_id"], "event_timestamp", 6 * 3600)
+    _noop_write(feats)
+    return time.monotonic() - t0, SPINE_ROWS
+
+
+def main() -> None:
+    from feast_spark.session import get_spark
+
+    spark = get_spark("feast_spark_bench", parallelism=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+
+    # headline: run twice, keep the second (JIT/codegen warm)
+    headline_job(spark)
+    secs, rows = headline_job(spark)
+    timings["headline_asof_window_materialization"] = round(secs, 3)
+    throughput = rows / secs
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        _noop_write(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "asof_window_materialization_throughput",
+                "value": round(throughput, 1),
+                "unit": "seq/sec",
+                "queries": timings,
+                "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+                "headline_rows": rows,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

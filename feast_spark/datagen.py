@@ -185,3 +185,78 @@ def to_spark(spark, pdf: pd.DataFrame):
         if c in pdf2.columns:
             pdf2[c] = pd.to_datetime(pdf2[c], utc=True).dt.tz_localize(None)
     return spark.createDataFrame(pdf2, schema=T.StructType(fields))
+
+
+# ---------------------------------------------------------------------------
+# Distributed (Spark-native) generator for benchmark scale — no driver-side
+# pandas. Pure hash-based determinism: every cell is a function of
+# (doc_id, version [, position]), so any executor count / partitioning
+# produces identical data (resume- and cluster-size-independent).
+# ---------------------------------------------------------------------------
+
+def spark_token_sequences(spark, n_docs: int, versions: int = 6, partitions: int | None = None):
+    """BASELINE.json-shaped feature table generated distributed:
+    (doc_id string, tokens array<int>, n_tok int, source string,
+    event_timestamp, created). ~`n_docs*versions` rows."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n_docs * versions, 1, partitions or spark.sparkContext.defaultParallelism)
+    df = (
+        base.withColumn("doc", (F.col("id") / versions).cast("long"))
+        .withColumn("version", F.pmod(F.col("id"), F.lit(versions)))
+        .withColumn("doc_id", F.format_string("doc_%08d", F.col("doc")))
+        .withColumn("n_tok", (F.pmod(F.hash("doc_id", "version"), F.lit(128)) + 1).cast("int"))
+        .withColumn(
+            "tokens",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok")),
+                lambda j: F.pmod(F.hash(F.col("doc_id"), F.col("version"), j), F.lit(50257)),
+            ),
+        )
+        .withColumn(
+            "source",
+            F.element_at(
+                F.array(F.lit("web"), F.lit("book"), F.lit("code"), F.lit("wiki")),
+                (F.pmod(F.hash("doc_id", F.lit(1), "version"), F.lit(4)) + 1).cast("int"),
+            ),
+        )
+        .withColumn(
+            "event_timestamp",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(
+                F.col("version") * 86400
+                + F.pmod(F.hash("doc_id", F.lit(2), "version"), F.lit(86400))
+            ).cast("double")),
+        )
+        .withColumn(
+            "created",
+            F.col("event_timestamp")
+            + F.make_interval(secs=F.pmod(F.hash("doc_id", F.lit(3), "version"), F.lit(7200)).cast("double")),
+        )
+    )
+    return df.select("doc_id", "tokens", "n_tok", "source", "event_timestamp", "created")
+
+
+def spark_entity_spine(spark, n_rows: int, n_docs: int, span_days: int = 10, partitions: int | None = None):
+    """Deterministic retrieval spine over the generated doc_id space
+    (~5% unknown ghost ids for the NULL path)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+    return (
+        base.withColumn("pick", F.pmod(F.hash(F.col("id"), F.lit(7)), F.lit(int(n_docs * 1.05))))
+        .withColumn(
+            "doc_id",
+            F.when(
+                F.col("pick") < n_docs, F.format_string("doc_%08d", F.col("pick"))
+            ).otherwise(F.format_string("ghost_%08d", F.col("pick"))),
+        )
+        .withColumn(
+            "event_timestamp",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.pmod(
+                F.hash(F.col("id"), F.lit(8)), F.lit(span_days * 86400)
+            ).cast("double")),
+        )
+        .select("doc_id", "event_timestamp")
+    )

@@ -1,0 +1,114 @@
+"""Explicit skew handling for hot entity keys.
+
+The reference has no skew handling (Ray does a blind random_shuffle,
+ray.py:484-495). At 10^12-sequence scale a Zipf-heavy doc_id
+distribution makes the PIT shuffle and per-key aggregations lopsided:
+one reducer gets the hot key's entire history. Tools here:
+
+* ``salted_repartition`` — spread each key over S salt shards
+  (``pmod(hash(ts), S)`` keeps a row's shard deterministic);
+* ``salted_agg`` — two-phase aggregation: partial per (key, salt),
+  merge per key. The classic sum/count/min/max decomposition; the
+  second shuffle carries S rows per key instead of the raw history;
+* ``detect_hot_keys`` — sampled frequency probe to pick keys worth
+  salting (broadcast the hot set, salt only those rows — cold keys keep
+  the single-shuffle path).
+
+AQE's skew-join splitting (on in session defaults) already handles the
+join case at runtime; these utilities cover aggregations and writes,
+which AQE does not split.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (partial_fn, merge_fn) per supported aggregate — merge runs over the
+# per-salt partials
+_DECOMPOSABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def with_salt(df: DataFrame, salt_col: str = "__salt", shards: int = 16, on: str | None = None) -> DataFrame:
+    """Deterministic salt column: ``pmod(hash(on or all-cols), shards)``."""
+    src = F.col(on) if on else F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns])
+    return df.withColumn(salt_col, F.pmod(F.hash(src), F.lit(shards)))
+
+
+def salted_repartition(
+    df: DataFrame, keys: Sequence[str], shards: int = 16, salt_on: str | None = None
+) -> DataFrame:
+    """Repartition on (keys..., salt) so a hot key spreads over
+    ``shards`` partitions instead of one."""
+    salted = with_salt(df, shards=shards, on=salt_on)
+    return salted.repartition(*keys, "__salt").drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str]],
+    shards: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: ``groupBy(keys, salt)`` partials
+    then ``groupBy(keys)`` merge. Supports decomposable fns
+    (sum/count/min/max; avg derived as sum/count)."""
+    wants_avg = [(fn, col) for fn, col in aggs if fn in ("avg", "mean")]
+    phase1_fns: list[tuple[str, str]] = []
+    for fn, col in aggs:
+        if fn in ("avg", "mean"):
+            phase1_fns += [("sum", col), ("count", col)]
+        elif fn in _DECOMPOSABLE:
+            phase1_fns.append((fn, col))
+        else:
+            raise ValueError(f"{fn!r} is not decomposable for salted aggregation")
+    phase1_fns = list(dict.fromkeys(phase1_fns))
+
+    salted = with_salt(df, shards=shards, on=salt_on)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _DECOMPOSABLE[fn][0](col).alias(f"__p_{fn}_{col}")
+            for fn, col in phase1_fns
+        ]
+    )
+    merged = partial.groupBy(*keys).agg(
+        *[
+            _DECOMPOSABLE[fn][1](f"__p_{fn}_{col}").alias(f"{fn}_{col}")
+            for fn, col in phase1_fns
+        ]
+    )
+    for fn, col in wants_avg:
+        merged = merged.withColumn(
+            f"avg_{col}", F.col(f"sum_{col}") / F.col(f"count_{col}")
+        )
+    keep = [*keys] + [
+        f"{fn}_{col}" for fn, col in aggs if fn not in ("avg", "mean")
+    ] + [f"avg_{col}" for _, col in wants_avg]
+    return merged.select(*dict.fromkeys(keep))
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    threshold_rows: int = 100_000,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """Sampled hot-key probe: keys whose estimated row count exceeds
+    ``threshold_rows``. Returns a small DataFrame of hot keys suitable
+    for ``F.broadcast``."""
+    est = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .agg((F.count(F.lit(1)) / sample_fraction).alias("est_rows"))
+        .filter(F.col("est_rows") >= threshold_rows)
+    )
+    return est.select(*keys, "est_rows")

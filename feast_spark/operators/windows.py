@@ -44,6 +44,21 @@ def agg_fn(name: str) -> Column:
         raise ValueError(f"unsupported aggregation function {name!r}") from None
 
 
+def _ts_seconds(col: str | Column) -> Column:
+    """Whole epoch seconds (floor) of a timestamp column; routes
+    TIMESTAMP_NTZ through TimestampType (UTC session) since Spark 4
+    forbids direct ntz→numeric casts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def _ts_fractional(col: str | Column) -> Column:
+    """Microsecond-precision epoch seconds as double (for gap
+    comparisons where sub-second precision matters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
 def lag_lead_features(
     df: DataFrame,
     keys: Sequence[str],
@@ -112,7 +127,7 @@ def rolling_agg(
     upper = Window.currentRow if include_current else -1
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).cast("long"))
+        .orderBy(_ts_seconds(ts_col))
         .rangeBetween(-int(lookback_seconds), upper)
     )
     out = df
@@ -142,7 +157,7 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_seconds),
+        | ((_ts_fractional(ts_col) - _ts_fractional(prev_ts)) > gap_seconds),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("__new_s", new_session).withColumn(
@@ -164,7 +179,7 @@ def session_stats(
     exprs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
+        (F.max(_ts_fractional(ts_col)) - F.min(_ts_fractional(ts_col))).alias(
             "duration_s"
         ),
         F.count(F.lit(1)).alias("n_events"),

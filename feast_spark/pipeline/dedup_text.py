@@ -1,0 +1,338 @@
+"""Document deduplication at training-corpus scale.
+
+Four families, all DataFrame-native (no per-row Python):
+
+* **exact** — group by content fingerprint (md5 of normalized text).
+  One hash-aggregate shuffle; at 100 TB this is the cheapest pass and
+  typically removes the bulk of duplicates first.
+* **n-gram Jaccard** — inverted-index self-join on word shingles:
+  explode distinct shingles → join on shingle → count common → Jaccard.
+  Exact (no false negatives); cost bounded by shingle-posting-list
+  sizes. Drop ultra-frequent shingles (stopword shingles) before the
+  join at scale — the ``max_doc_freq`` knob.
+* **MinHash + LSH** — per-doc signature of K minimum portable-hash
+  values under K affine permutations, banded into B buckets; candidate
+  pairs share a band bucket; candidates verified with exact Jaccard.
+  Linear in corpus size; probabilistic recall (tunable via B×R).
+* **SimHash** — 32-bit sign-random-projection over word hashes; near
+  duplicates have small Hamming distance.
+
+The portable hash (text.portable_hash64) keeps signatures identical
+across engines, so DuckDB can serve as an independent oracle for the
+signature computation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_spark.pipeline.text import doc_fingerprint, normalize_text, portable_hash64
+
+MERSENNE31 = (1 << 31) - 1  # 2147483647, prime
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per duplicate *group*: fingerprint, representative
+    (min id), group size. Map-side-combinable aggregate — one shuffle."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def exact_dedup_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one document (min id) per exact content group."""
+    w = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    Edge semantics (mirrored exactly in the DuckDB oracles): texts with
+    ≥ n words get the usual sliding n-grams; shorter non-empty texts get
+    a single whole-text shingle; empty texts get an empty array (and no
+    signature downstream)."""
+    words = F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
+    nw = F.size(words)
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), nw - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    single = F.array(F.concat_ws(" ", words))
+    return (
+        F.when(nw >= n, full)
+        .when(nw > 0, single)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted shingle index.
+
+    Plan: explode shingles (flatMap, no shuffle) → optional hot-shingle
+    pruning → self equi-join on shingle (hash shuffle on shingle) →
+    pair-count aggregate → Jaccard filter. ``id_a < id_b`` cuts the
+    symmetric half. At 100 TB set ``max_doc_freq`` to drop
+    posting lists longer than ~1000 docs (stopword shingles produce
+    quadratic pair blow-up while contributing nothing to precision).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    ).persist()  # reused by sizes + both sides of the self-join
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_freq:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _affine_params(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the K minhash permutations
+    ``(a*h + b) mod p`` — fixed arithmetic progression keyed by seed so
+    every engine/run agrees without RNG."""
+    return [
+        ((seed * 1000003 + i * 7919) % MERSENNE31 or 1, (seed * 999331 + i * 104729) % MERSENNE31)
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``sig[i] = min over shingles of
+    ((a_i * (h(shingle) mod p) + b_i) mod p)``, h = portable md5 hash.
+    Computed with array expressions (transform + array_min) — per-row,
+    no shuffle, whole-stage codegen."""
+    params = _affine_params(num_hashes, seed)
+    # stage the md5 shingle hashes into a materialized column FIRST —
+    # inlining the expression K times would recompute the md5s per
+    # permutation (measured ~K-fold slowdown)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: portable_hash64(s) % MERSENNE31,
+        ).alias("__h"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__h"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31)
+            )
+            for a, b in params
+        ]
+    )
+    return staged.select(
+        "id", F.when(F.size("__h") > 0, sig).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    Bands of R = num_hashes/bands rows are hashed to buckets; docs
+    sharing any band bucket become candidates; candidates are verified
+    with exact Jaccard when ``verify`` (recommended — LSH alone has
+    false positives). Shuffle profile: one explode-join on (band,
+    bucket) whose cost is Σ bucket² — bounded because buckets are
+    64-bit hashes of R-element signature slices.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).filter(
+        F.col("signature").isNotNull()
+    ).persist()  # banded twice (self-join) — avoid recomputing the md5 pipeline
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws(",", *[F.col("signature")[b * r + i] for i in range(r)])).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).persist()  # joined twice in the verify stage
+    out = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash over word portable-hashes: bit i of the output is
+    1 iff Σ_words (bit i of h(word) ? +1 : −1) > 0. Near-duplicates
+    land within small Hamming distance. Array-expression only — no
+    shuffle, no Python."""
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    # stage word hashes once (md5 per word is the dominant cost; 32
+    # inlined copies of the expression would recompute it per bit)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(words, lambda w: portable_hash64(w)).alias("__h"),
+    )
+    bit_sums = [
+        F.aggregate(
+            F.col("__h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for i in range(bits)
+    ]
+    val = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        val = val + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return staged.select(
+        "id",
+        F.when(F.size("__h") > 0, val).otherwise(F.lit(None)).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, using the
+    pigeonhole block trick: split the hash into ``blocks`` segments —
+    any pair within distance k < blocks shares at least one exact
+    segment, so candidates come from equi-joins on segments (linear
+    index build, no all-pairs)."""
+    seg_bits = bits // blocks
+    mask = (1 << seg_bits) - 1
+    sh = simhash(df, id_col, text_col, bits).filter(F.col("simhash").isNotNull())
+    seg = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright("simhash", i * seg_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("segment"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "simhash", "s.block", "s.segment")
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = (
+        a.join(b, on=["block", "segment"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,110 @@
+"""Plan-shape regression tests: the optimizations we rely on at scale
+must actually appear in the physical plan — filter pushdown to the
+parquet scan, broadcast joins for small sides, bounded shuffle counts
+for the merge_asof path."""
+
+from datetime import timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feast_spark.core.feature_view import Entity, FeatureView
+from feast_spark.core.source import ParquetSource
+from feast_spark.core.store import FeatureStore
+from feast_spark.operators.asof_join import point_in_time_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_spine_bounds_push_into_scan(spark, ev):
+    """FeatureStore pre-filters each feature scan to the spine window —
+    the filter must reach the parquet reader (PushedFilters)."""
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="clicks",
+            source=ParquetSource(f"{SF}/events.parquet", timestamp_field="ts"),
+            entities=[Entity("user_id")],
+            ttl=timedelta(days=7),
+            udf=lambda df: df.filter(F.col("event_type") == "click"),
+        )
+    )
+    spine = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    job = store.get_historical_features(spine, ["clicks:value"])
+    # default maxMetadataStringLength truncates the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = _plan(job.to_spark_df())
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "100")
+    assert "PushedFilters" in plan
+    # the ts window bounds derived from the spine must be pushed down
+    assert "LessThanOrEqual(ts" in plan, plan[:2000]
+    assert "GreaterThanOrEqual(ts" in plan
+
+
+def test_broadcast_strategy_broadcasts(spark, ev):
+    spine = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    feats = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("event_timestamp"), "value"
+    )
+    out = point_in_time_join(
+        spine, feats, ["user_id"], ["value"], ttl_seconds=86400, strategy="broadcast"
+    )
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_merge_asof_shuffle_count(spark, ev):
+    """The scale path must shuffle each side exactly once (hash on the
+    key bucket) + one for the row-id–free output — no hidden extra
+    exchanges."""
+    spine = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    feats = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("event_timestamp"), "value"
+    )
+    out = point_in_time_join(
+        spine, feats, ["user_id"], ["value"], ttl_seconds=86400, strategy="merge_asof"
+    )
+    plan = _plan(out)
+    n_exchanges = plan.count("Exchange hashpartitioning(__b")
+    assert n_exchanges == 2, f"expected 2 bucket shuffles, got {n_exchanges}:\n{plan[:3000]}"
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Selecting 2 columns must not read the full documents schema."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", "lang")
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_window_group_limit_for_latest_dedup(spark, ev):
+    """latest_row_dedup must compile to WindowGroupLimit (top-1 per key
+    without full sort materialization) on Spark 4."""
+    from feast_spark.operators.dedup import latest_row_dedup
+
+    out = latest_row_dedup(
+        ev.select("user_id", "ts", "value"), ["user_id"], "ts"
+    )
+    assert "WindowGroupLimit" in _plan(out)

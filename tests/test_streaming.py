@@ -1,0 +1,169 @@
+"""Structured Streaming: file-source micro-batch ingest with per-batch
+dedup, retrying sink, checkpoint resume; streaming window/session aggs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feast_spark import datagen
+from feast_spark.streaming.processor import (
+    StreamProcessor,
+    decode_json_payload,
+    stream_session_agg,
+    stream_tumbling_agg,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("event_timestamp", T.TimestampType()),
+        T.StructField("created", T.TimestampType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ]
+)
+
+
+def _write_batches(spark, path):
+    pdf = datagen.token_sequences(n_docs=20, versions_per_doc=3, seed=9)[
+        ["doc_id", "event_timestamp", "created", "n_tok"]
+    ]
+    sdf = datagen.to_spark(spark, pdf)
+    sdf.coalesce(2).write.mode("overwrite").parquet(path)
+    return pdf
+
+
+def test_foreachbatch_ingest_dedup_and_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = _write_batches(spark, src)
+
+    received: list[pd.DataFrame] = []
+
+    proc = StreamProcessor(
+        spark,
+        join_keys=["doc_id"],
+        created_timestamp_column="created",
+        sink=lambda df, bid: received.append(df.toPandas()),
+        checkpoint_location=ckpt,
+    )
+    stream = proc.from_files(src, SCHEMA)
+    q = proc.start(stream, available_now=True)
+    q.awaitTermination(120)
+    got = pd.concat(received, ignore_index=True)
+    # per-batch latest-per-key dedup: one row per doc_id (single batch)
+    assert got["doc_id"].nunique() == len(got)
+    # latest row won: compare against pandas argmax
+    exp = (
+        pdf.sort_values(["event_timestamp", "created"], kind="mergesort")
+        .groupby("doc_id")
+        .tail(1)
+    )
+    m = got.set_index("doc_id")["n_tok"].to_dict()
+    for _, r in exp.iterrows():
+        assert m[r.doc_id] == r.n_tok
+
+    # checkpoint resume: restarting with same checkpoint reprocesses nothing
+    received.clear()
+    q2 = proc.start(proc.from_files(src, SCHEMA), available_now=True)
+    q2.awaitTermination(120)
+    assert sum(len(b) for b in received) == 0
+
+
+def test_sink_retry_then_fail(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    _write_batches(spark, src)
+    calls = {"n": 0}
+
+    def flaky(df, bid):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient")
+        df.count()
+
+    proc = StreamProcessor(
+        spark,
+        join_keys=["doc_id"],
+        created_timestamp_column="created",
+        sink=flaky,
+        max_retries=3,
+        backoff_seconds=0.01,
+    )
+    q = proc.start(proc.from_files(src, SCHEMA), available_now=True)
+    q.awaitTermination(120)
+    assert calls["n"] == 3  # two failures + one success
+
+
+def test_decode_json_payload(spark):
+    raw = spark.createDataFrame(
+        [(bytes(f'{{"doc_id":"d{i}","n_tok":{i}}}', "utf8"),) for i in range(5)],
+        ["value"],
+    )
+    got = decode_json_payload(raw, "doc_id string, n_tok int").toPandas()
+    assert got["n_tok"].tolist() == list(range(5))
+
+
+def test_stream_tumbling_agg_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    pdf = _write_batches(spark, src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = stream_tumbling_agg(
+        stream, ["doc_id"], "event_timestamp", [("sum", "n_tok")], 6 * 3600
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("agg_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from agg_out").toPandas()
+    # batch oracle
+    from feast_spark.operators.windows import tumbling_agg
+
+    exp = tumbling_agg(
+        datagen.to_spark(spark, pdf), ["doc_id"], "event_timestamp", [("sum", "n_tok")], 6 * 3600
+    ).toPandas()
+    k = ["doc_id", "window_start"]
+    g = got.sort_values(k).reset_index(drop=True)
+    e = exp.sort_values(k).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert np.array_equal(g["sum_n_tok_21600s"].values, e["sum_n_tok_21600s"].values)
+
+
+def test_stream_session_agg(spark, tmp_path):
+    src = str(tmp_path / "src4")
+    ts0 = pd.Timestamp("2024-01-01", tz="UTC")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 4,
+            "event_timestamp": [
+                ts0,
+                ts0 + pd.Timedelta(minutes=5),
+                ts0 + pd.Timedelta(hours=2),
+                ts0 + pd.Timedelta(hours=2, minutes=10),
+            ],
+            "created": [ts0] * 4,
+            "n_tok": [1, 2, 3, 4],
+        }
+    )
+    datagen.to_spark(spark, pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = stream_session_agg(
+        stream, ["doc_id"], "event_timestamp", 1800, [("sum", "n_tok")]
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_out").toPandas().sort_values("session_start")
+    assert len(got) == 2
+    assert got["sum_n_tok"].tolist() == [3, 7]
+    assert got["n_events"].tolist() == [2, 2]

@@ -1,0 +1,102 @@
+"""Scaling-efficiency evidence for the north rule: the same headline
+as-of-join + window-feature materialization job at two parallelism
+levels (local[N] vs local[4N]) on identical deterministic input;
+efficiency = throughput_4N / (4 * throughput_N), target >= 0.8.
+
+Each level runs in a fresh JVM (subprocess) so executor-thread count and
+shuffle partitions are really different. Writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [N] [repeat]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = str({cpus})
+from feast_spark.session import get_spark
+import bench
+
+spark = get_spark("scaling", parallelism={cpus}, shuffle_partitions={cpus})
+spark.sparkContext.setLogLevel("ERROR")
+bench.headline_job(spark)          # warmup (codegen, JIT)
+best = min(bench.headline_job(spark)[0] for _ in range({repeat}))
+print(json.dumps({{"cpus": {cpus}, "secs": best, "rows": bench.SPINE_ROWS}}))
+"""
+
+
+def run_level(cpus: int, repeat: int) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, repeat=repeat)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    lo = run_level(n, repeat)
+    hi = run_level(4 * n, repeat)
+    tp_lo = lo["rows"] / lo["secs"]
+    tp_hi = hi["rows"] / hi["secs"]
+    eff = tp_hi / (4 * tp_lo)
+    result = {
+        "N": n,
+        "throughput_N": round(tp_lo, 1),
+        "throughput_4N": round(tp_hi, 1),
+        "secs_N": round(lo["secs"], 3),
+        "secs_4N": round(hi["secs"], 3),
+        "rows": lo["rows"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+North rule: as-of join + window-feature materialization throughput
+(sequences/sec) with scaling efficiency >= 0.8 from N to 4N executors.
+Sandbox evidence (no real cluster): identical job, identical
+deterministic synthetic input (hash-generated token-sequence table,
+partition-count-independent), two fresh local JVMs.
+
+| parallelism | wall secs (best of {repeat}) | throughput (seq/sec) |
+|---|---|---|
+| local[{n}], shuffle={n} | {result['secs_N']} | {result['throughput_N']} |
+| local[{4*n}], shuffle={4*n} | {result['secs_4N']} | {result['throughput_4N']} |
+
+**scaling efficiency = {result['throughput_4N']} / (4 x {result['throughput_N']})
+= {result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+
+Headline job: PIT as-of join (cogrouped Arrow merge_asof strategy) of a
+{result['rows']:,}-row spine against ~{os.environ.get('BENCH_SEQ_DOCS', '100000')}x{os.environ.get('BENCH_SEQ_VERSIONS', '6')}
+token-sequence rows (TTL 3d, created tie-break), then lag/lead +
+trailing-24h rolling sum + inactivity-gap sessionization, materialized
+to a noop sink (all columns computed). Per-partition lineage/metrics for
+the materialization path are covered by MaterializationManifest
+(feast_spark/materialize/jobs.py) and tests/test_materialize.py.
+
+Caveat: local mode shares one JVM/page cache; true multi-node scaling
+additionally pays network shuffle. The job was designed to keep that
+cost low at cluster scale: one hash shuffle per side keyed on doc_id,
+map-side combinable aggregations, no driver collects in the hot path.
+"""
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
