@@ -233,6 +233,38 @@ class FeatureStore:
                 out = _apply_odfv(out, self._odfvs[name], wanted, full_feature_names)
         return RetrievalJob(out)
 
+    # --------------------------------------------------------- materialization
+    def materialize(
+        self,
+        view_name: str,
+        out_path: str,
+        start=None,
+        end=None,
+        *,
+        only_latest: bool = True,
+        repartition: int | None = None,
+    ):
+        """Materialize a registered view to date-partitioned parquet with
+        per-partition lineage manifest + idempotent resume (reference
+        feature_store.py:1555-1781 → compute_engines/spark/compute.py:88-130,
+        plus the resume capability the reference lacks)."""
+        from feast_spark.materialize.jobs import materialize_view
+
+        view = self._views[view_name]
+        fdf = self._build_view_df(view)
+        return materialize_view(
+            self.spark,
+            fdf,
+            out_path,
+            view.join_keys,
+            ts_col=view.timestamp_field,
+            created_col=view.created_timestamp_column,
+            start=start,
+            end=end,
+            only_latest=only_latest,
+            repartition=repartition,
+        )
+
     # ----------------------------------------------------------- entity-map
     def with_join_key_map(self, view: FeatureView, key_map: dict[str, str], name: str) -> FeatureView:
         """Role-playing dimension: same view joined under renamed keys

@@ -254,3 +254,22 @@ def test_derived_view(spark, fixtures):
     assert np.array_equal(
         got.loc[m, "n_tok2"].astype(int), got.loc[m, "n_tok"].astype(int) * 2
     )
+
+
+def test_store_materialize_and_persist(spark, fixtures, tmp_path):
+    store, spine, seqs, *_ = fixtures
+    out = str(tmp_path / "mat_store")
+    res = store.materialize("sequences", out)
+    assert res.rows > 0 and res.written
+    # idempotent rerun
+    res2 = store.materialize("sequences", out)
+    assert not res2.written
+
+    job = store.get_historical_features(
+        datagen.to_spark(spark, spine.head(10)), ["sequences:n_tok"]
+    )
+    job.persist("saved_training_set")
+    assert spark.sql("select count(*) from saved_training_set").first()[0] == 10
+    staged = str(tmp_path / "staged")
+    job.to_remote_storage(staged)
+    assert spark.read.parquet(staged).count() == 10
