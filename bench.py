@@ -31,6 +31,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEQ_DOCS = int(os.environ.get("BENCH_SEQ_DOCS", "100000"))
 SEQ_VERSIONS = int(os.environ.get("BENCH_SEQ_VERSIONS", "6"))
 SPINE_ROWS = int(os.environ.get("BENCH_SPINE_ROWS", "400000"))
+# join_dedup (Catalyst-native) A/B-measured faster than merge_asof on
+# this box AND scales 0.94 from 2->8 cores; merge_asof remains the
+# per-query benchmark entry and the hot-key-fan-out scale path
+STRATEGY = os.environ.get("BENCH_STRATEGY", "join_dedup")
 
 
 def _noop_write(df) -> None:
@@ -59,7 +63,7 @@ def headline_job(spark) -> tuple[float, int]:
         ["tokens", "n_tok", "source"],
         created_col="created",
         ttl_seconds=3 * 86400,
-        strategy="merge_asof",
+        strategy=STRATEGY,
     )
     feats = lag_lead_features(
         joined.filter(F.col("n_tok").isNotNull()),
