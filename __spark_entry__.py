@@ -738,6 +738,81 @@ def q_image_features(spark, sf_dir):
     )
 
 
+
+def q_grouped_stats(spark, sf_dir):
+    """Grouped aggregation surface: avg/min/max/stddev + distinct count
+    per event_type."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.stddev("value"), 6).alias("std_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_GROUPED_STATS_ORACLE = """
+SELECT event_type,
+       round(AVG(value), 6) AS avg_value,
+       round(MIN(value), 6) AS min_value,
+       round(MAX(value), 6) AS max_value,
+       round(STDDEV_SAMP(value), 6) AS std_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_users(spark, sf_dir):
+    """Top-3 users by total value per event_type (rank window / top-k)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "total", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+_TOP_USERS_ORACLE = """
+WITH totals AS (
+  SELECT event_type, user_id, round(SUM(value), 6) total
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY total DESC, user_id ASC) rnk
+  FROM totals
+)
+SELECT event_type, user_id, total, CAST(rnk AS BIGINT) rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_daily_active_users(spark, sf_dir):
+    """Date-bucketed distinct aggregation."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DAU_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -760,6 +835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_agg": q_sliding_agg,
         "rolling_trailing": q_rolling_trailing,
         "pricing_summary": q_pricing_summary,
+        "grouped_stats": q_grouped_stats,
+        "top_users": q_top_users,
+        "daily_active_users": q_daily_active_users,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -790,6 +868,9 @@ def oracle_sql() -> dict[str, str]:
         "sliding_agg": _SLIDING_ORACLE,
         "rolling_trailing": _ROLLING_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
+        "grouped_stats": _GROUPED_STATS_ORACLE,
+        "top_users": _TOP_USERS_ORACLE,
+        "daily_active_users": _DAU_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,

@@ -108,3 +108,22 @@ def test_window_group_limit_for_latest_dedup(spark, ev):
         ev.select("user_id", "ts", "value"), ["user_id"], "ts"
     )
     assert "WindowGroupLimit" in _plan(out)
+
+
+def test_iceberg_conf_wiring(spark):
+    """Iceberg helper produces the reference's catalog conf shape
+    (repo_config.py:261-268); actual catalog use is gated on the runtime
+    jar, absent in this sandbox."""
+    from feast_spark.core.iceberg import (
+        create_sequences_table_ddl,
+        iceberg_available,
+        iceberg_session_conf,
+    )
+
+    conf = iceberg_session_conf("feast", warehouse="/tmp/wh")
+    assert conf["spark.sql.catalog.feast"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.feast.handle-timestamp-without-timezone"] == "true"
+    assert conf["spark.sql.catalog.feast.warehouse"] == "/tmp/wh"
+    ddl = create_sequences_table_ddl("feast.db.seqs")
+    assert "PARTITIONED BY (days(event_timestamp), bucket(64, doc_id))" in ddl
+    assert iceberg_available(spark) in (True, False)  # gated, no jar here
