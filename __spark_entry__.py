@@ -813,6 +813,88 @@ FROM events GROUP BY 1
 """
 
 
+
+def q_customers_with_orders(spark, sf_dir):
+    """Left-semi join (EXISTS): customers that placed at least one order."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_parts_never_ordered(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): parts with no lineitem."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_pivot_order_status(spark, sf_dir):
+    """Pivot: order counts per market segment x order status."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    out = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Rollup grouping sets: revenue by (returnflag, linestatus), by
+    returnflag, and grand total."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+        "revenue",
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -838,6 +920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats": q_grouped_stats,
         "top_users": q_top_users,
         "daily_active_users": q_daily_active_users,
+        "customers_with_orders": q_customers_with_orders,
+        "parts_never_ordered": q_parts_never_ordered,
+        "pivot_order_status": q_pivot_order_status,
+        "rollup_revenue": q_rollup_revenue,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -871,6 +957,10 @@ def oracle_sql() -> dict[str, str]:
         "grouped_stats": _GROUPED_STATS_ORACLE,
         "top_users": _TOP_USERS_ORACLE,
         "daily_active_users": _DAU_ORACLE,
+        "customers_with_orders": _SEMI_ORACLE,
+        "parts_never_ordered": _ANTI_ORACLE,
+        "pivot_order_status": _PIVOT_ORACLE,
+        "rollup_revenue": _ROLLUP_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,

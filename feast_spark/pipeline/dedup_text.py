@@ -97,10 +97,18 @@ def ngram_jaccard_pairs(
     posting lists longer than ~1000 docs (stopword shingles produce
     quadratic pair blow-up while contributing nothing to precision).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).persist()  # reused by sizes + both sides of the self-join
+    # posting index on xxhash64(shingle): joining/shuffling 8-byte longs
+    # instead of shingle strings measured ~1.6x faster on the pair-count
+    # aggregation; a 64-bit collision would merge two shingles (P ~ n^2 /
+    # 2^65 — negligible even at 10^9 distinct shingles)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+        )
+        .select("id", F.xxhash64("__s").alias("shingle"))
+        .persist()  # reused by sizes + both sides of the self-join
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_doc_freq:
         hot = (
