@@ -1,0 +1,116 @@
+"""End-to-end training-data pipeline composing the whole engine.
+
+documents → quality filter → language filter → exact + near dedup →
+tokenize (deterministic stand-in) → token-sequence feature table →
+materialize (manifest/resume) → PIT retrieval with windowed features →
+training set.
+
+Run: PYTHONPATH=. python examples/training_pipeline.py [sf_dir] [out_dir]
+
+At cluster scale, submit with::
+
+    zip -r feast_spark.zip feast_spark
+    spark-submit --py-files feast_spark.zip examples/training_pipeline.py \
+        s3://bucket/docs s3://bucket/out
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from feast_spark.materialize.jobs import MaterializationManifest, materialize_view
+from feast_spark.operators.asof_join import point_in_time_join
+from feast_spark.operators.windows import lag_lead_features, rolling_agg, sessionize
+from feast_spark.pipeline.dedup_text import exact_dedup_docs, lsh_candidate_pairs
+from feast_spark.pipeline.text import detect_language, quality_features
+
+
+def fake_tokenize(df, text_col="text", vocab=50257):
+    """Deterministic per-word hash 'tokenizer' (stands in for a real BPE;
+    same array<int> output shape)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    return df.withColumn(
+        "tokens", F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int"))
+    ).withColumn("n_tok", F.size("tokens"))
+
+
+def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = {"input_docs": docs.count()}
+
+    # 1. quality + language filter (JVM-side expressions only)
+    scored = detect_language(quality_features(docs))
+    kept = scored.filter((F.col("quality_score") >= 0.3) & (F.col("n_words") >= 3))
+    stats["after_quality"] = kept.count()
+
+    # 2. exact dedup, then MinHash-LSH near-dup removal (drop the larger
+    #    id of each verified near-dup pair)
+    kept = exact_dedup_docs(kept)
+    stats["after_exact_dedup"] = kept.count()
+    near = lsh_candidate_pairs(kept, num_hashes=16, bands=8, shingle_n=2, threshold=0.6)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = kept.join(drop, on="doc_id", how="left_anti")
+    stats["after_near_dedup"] = kept.count()
+
+    # 3. tokenize → token-sequence feature table (synthetic event times:
+    #    deterministic offsets; real pipelines carry ingestion times)
+    seqs = fake_tokenize(kept).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(hours=F.pmod(F.xxhash64("doc_id"), F.lit(24 * 28)))
+        ).alias("event_timestamp"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(hours=F.pmod(F.xxhash64("doc_id"), F.lit(24 * 28)) + 1)
+        ).alias("created"),
+    )
+
+    # 4. materialize with lineage manifest (idempotent resume)
+    mat_path = os.path.join(out_dir, "sequences")
+    materialize_view(spark, seqs, mat_path, ["doc_id"], created_col="created")
+    stats["manifest"] = MaterializationManifest(mat_path).metrics()
+
+    # 5. PIT retrieval + windowed features over the materialized table
+    stored = spark.read.option("basePath", mat_path).parquet(f"{mat_path}/day=*")
+    spine = stored.select(
+        "doc_id",
+        (F.col("event_timestamp") + F.make_interval(hours=F.lit(2))).alias("event_timestamp"),
+    )
+    joined = point_in_time_join(
+        spine,
+        stored.drop("day"),
+        ["doc_id"],
+        ["tokens", "n_tok", "source"],
+        created_col="created",
+        ttl_seconds=7 * 86400,
+        strategy="join_dedup",
+        feature_prefix="feat_",
+    )
+    feats = lag_lead_features(joined, ["doc_id"], "event_timestamp", ["feat_n_tok"], offsets=[1])
+    feats = rolling_agg(feats, ["doc_id"], "event_timestamp", [("sum", "feat_n_tok")], 86400)
+    feats = sessionize(feats, ["doc_id"], "event_timestamp", 6 * 3600)
+
+    train_path = os.path.join(out_dir, "training_set")
+    feats.write.mode("overwrite").parquet(train_path)
+    stats["training_rows"] = spark.read.parquet(train_path).count()
+    return stats
+
+
+if __name__ == "__main__":
+    from feast_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/feast_spark_training"
+    spark = get_spark("training_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(build_training_set(spark, sf_dir, out_dir)))
