@@ -16,10 +16,12 @@ search, text analysis, and multimodal column plumbing.
 from feast_spark.core.feature_view import (
     Aggregation,
     Entity,
+    FeatureService,
     FeatureView,
     Field,
     OnDemandFeatureView,
     SortedFeatureView,
+    StreamFeatureView,
 )
 from feast_spark.core.source import ParquetSource, QuerySource, SparkSource, TableSource
 from feast_spark.core.store import FeatureStore
@@ -30,6 +32,7 @@ from feast_spark.session import get_spark
 __all__ = [
     "Aggregation",
     "Entity",
+    "FeatureService",
     "FeatureStore",
     "FeatureView",
     "Field",
@@ -38,6 +41,7 @@ __all__ = [
     "QuerySource",
     "SortedFeatureView",
     "SparkSource",
+    "StreamFeatureView",
     "TableSource",
     "get_spark",
     "latest_row_dedup",

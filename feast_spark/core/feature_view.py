@@ -120,6 +120,18 @@ class SortedFeatureView(FeatureView):
 
 
 @dataclass
+class StreamFeatureView(FeatureView):
+    """FeatureView over a streaming source (reference
+    stream_feature_view.py:43-140): same retrieval semantics, plus a
+    stream ingest pipeline (udf + aggregations honored in the stream).
+    ``stream_source`` describes the live feed; ``source`` remains the
+    offline batch table the stream lands into (and retrieval reads)."""
+
+    stream_source: object | None = None  # dict/conf consumed by StreamProcessor
+    watermark_delay: str | None = None
+
+
+@dataclass
 class OnDemandFeatureView:
     """Row-level post-retrieval transformation (reference
     on_demand_feature_view.py:46-212, pandas mode). ``udf`` takes and

@@ -233,6 +233,54 @@ class FeatureStore:
                 out = _apply_odfv(out, self._odfvs[name], wanted, full_feature_names)
         return RetrievalJob(out)
 
+    # ------------------------------------------------------------- streaming
+    def start_stream_ingest(
+        self,
+        view_name: str,
+        stream_df,
+        *,
+        checkpoint_location: str | None = None,
+        available_now: bool = False,
+        processing_time: str | None = None,
+    ):
+        """Run a StreamFeatureView's ingest: stream → (udf, prune,
+        watermark) → foreachBatch(latest-dedup → append to the view's
+        offline source path). Retrieval then sees streamed rows through
+        the normal PIT path (reference: SparkKafkaProcessor writes to
+        offline/online stores per batch, spark_kafka_processor.py:338-417).
+        """
+        from feast_spark.core.feature_view import StreamFeatureView
+        from feast_spark.streaming.processor import StreamProcessor
+
+        view = self._views[view_name]
+        if not isinstance(view, StreamFeatureView):
+            raise TypeError(f"{view_name!r} is not a StreamFeatureView")
+        sink_path = getattr(view.source, "path", None)
+        if sink_path is None:
+            raise ValueError("stream ingest needs a path-backed offline source")
+        fmt = getattr(view.source, "file_format", "parquet")
+
+        def sink(batch_df, batch_id: int) -> None:
+            batch_df.write.format(fmt).mode("append").save(sink_path)
+
+        proc = StreamProcessor(
+            self.spark,
+            join_keys=view.join_keys,
+            timestamp_field=view.timestamp_field,
+            created_timestamp_column=view.created_timestamp_column,
+            field_mapping=getattr(view.source, "field_mapping", {}) or {},
+            udf=view.udf,
+            watermark_delay=view.watermark_delay,
+            sink=sink,
+            checkpoint_location=checkpoint_location,
+        )
+        return proc.start(
+            stream_df,
+            available_now=available_now,
+            processing_time=processing_time,
+            query_name=f"ingest_{view_name}",
+        )
+
     # --------------------------------------------------------- materialization
     def materialize(
         self,

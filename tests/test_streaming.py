@@ -167,3 +167,46 @@ def test_stream_session_agg(spark, tmp_path):
     assert len(got) == 2
     assert got["sum_n_tok"].tolist() == [3, 7]
     assert got["n_events"].tolist() == [2, 2]
+
+
+def test_stream_feature_view_ingest_to_retrieval(spark, tmp_path):
+    """Full loop: file stream -> StreamFeatureView ingest (foreachBatch
+    append to offline source) -> PIT retrieval sees the streamed rows."""
+    from feast_spark.core.feature_view import Entity, StreamFeatureView
+    from feast_spark.core.source import ParquetSource
+    from feast_spark.core.store import FeatureStore
+
+    src = str(tmp_path / "stream_src")
+    offline = str(tmp_path / "offline_sink")
+    pdf = _write_batches(spark, src)
+
+    store = FeatureStore(spark)
+    view = StreamFeatureView(
+        name="seq_stream",
+        source=ParquetSource(offline, created_timestamp_column="created"),
+        entities=[Entity("doc_id")],
+    )
+    store.apply(view)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = store.start_stream_ingest(
+        "seq_stream",
+        stream,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # retrieval over the streamed-in offline table
+    spine = (
+        pdf[["doc_id"]].drop_duplicates().assign(
+            event_timestamp=pdf["event_timestamp"].max() + pd.Timedelta(hours=1)
+        )
+    )
+    got = store.get_historical_features(
+        datagen.to_spark(spark, spine), ["seq_stream:n_tok"]
+    ).to_df()
+    assert len(got) == spine["doc_id"].nunique()
+    assert got["n_tok"].notna().all()
+    # latest-per-key dedup happened during ingest (one batch => one row/doc)
+    assert spark.read.parquet(offline).count() == pdf["doc_id"].nunique()
