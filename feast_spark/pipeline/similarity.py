@@ -20,6 +20,9 @@ no shuffle). For Q ≈ N use the bucketed variants, whose shuffle is on
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +49,40 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _make_dot_udf():
+    """Arrow-batched numpy dot product over two array columns.
+
+    Spark's higher-order `aggregate`/`zip_with` are CodegenFallback
+    (interpreted per element), so at millions of candidate pairs the
+    JVM-side expression loses to one numpy matmul per Arrow batch.
+    Summation order differs from sequential left-to-right by < 1e-12
+    relative — outputs are rounded to 6 digits, so cross-engine oracle
+    parity is preserved.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def dot_fn(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    dot_fn.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(dot_fn)
+
+
+_DOT_UDF = None
+
+
+def pair_dot(a: Column, b: Column) -> Column:
+    """Vectorized dot product for pair-scoring hot paths."""
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        _DOT_UDF = _make_dot_udf()
+    return _DOT_UDF(a, b)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -62,32 +99,70 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cosine). Ties broken by
     neighbor id for determinism.
     """
-    # norms are computed once per row BEFORE the pair join — recomputing
-    # them per pair costs 2x64 multiplies per candidate (measured ~25x
-    # slowdown on the all-pairs path)
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("__qv"),
-        _norm(F.col(query_vec)).alias("__qn"),
+    # Physical strategy: broadcast the query matrix (numpy) to the
+    # executors and scan the corpus once with a blocked BLAS matmul per
+    # Arrow batch, emitting only per-batch top-k candidates. Data
+    # shipped to Python is O(corpus + Q*k*batches), never the Q x N
+    # pair table (the crossJoin formulation moved 2M pairs of 64-float
+    # arrays through Arrow; this moves 2k rows).
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    ).collect()  # bounded: the broadcast-side query set
+    if not q_rows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cosine double"
+        )
+    qids = np.array([r["query_id"] for r in q_rows])
+    qmat = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in q_rows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qnorm))
+    kk, rd, excl = k, round_digits, exclude_self
+
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        _norm(F.col(corpus_vec)).alias("__cn"),
-    )
-    pairs = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = pairs.withColumn(
-        "cosine", _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
-    )
-    if round_digits is not None:
-        sim = sim.withColumn("cosine", F.round("cosine", round_digits))
+
+    def score(batches):
+        qids_, qmat_, qnorm_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat_.T) / np.outer(cnorm, qnorm_)  # |batch| x Q
+            if rd is not None:
+                sims = np.round(sims, rd)
+            nids = pdf["neighbor_id"].to_numpy()
+            out = []
+            for j, qid in enumerate(qids_):
+                col = sims[:, j]
+                mask = nids != qid if excl else np.ones(len(nids), bool)
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # batch-local top-k (score desc, id asc) — superset of
+                # the global top-k contributions from this batch
+                order = np.lexsort((nids[idx], -col[idx]))[:kk]
+                for i in idx[order]:
+                    out.append((qid, nids[i], float(col[i])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    cand = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
@@ -168,7 +243,7 @@ def lsh_topk(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
+        F.round(pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -239,7 +314,7 @@ def ivf_topk(
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
+        F.round(pair_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -267,6 +342,50 @@ def embedding_dup_pairs(
     ``exact`` does the all-pairs O(N²) scan (small N / verification);
     default blocks by LSH bucket first (near-dup pairs almost surely
     agree on all sign bits when threshold is high)."""
+    if exact:
+        # broadcast the full corpus matrix; each Arrow batch computes a
+        # block x corpus BLAS matmul and emits only threshold-passing
+        # pairs — O(n) Arrow traffic instead of the n^2/2 pair table.
+        # Exact mode is for corpora that fit a broadcast (~<1e6 rows);
+        # beyond that use the LSH-blocked default.
+        rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+        ids = np.array([r["id"] for r in rows])
+        mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        norm = np.linalg.norm(mat, axis=1)
+        sc = df.sparkSession.sparkContext
+        ball = sc.broadcast((ids, mat, norm))
+        thr = threshold
+
+        from pyspark.sql import types as T
+
+        id_type = df.schema[id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", id_type),
+                T.StructField("id_b", id_type),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def score(batches):
+            ids_, mat_, norm_ = ball.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                bm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                bn = np.linalg.norm(bm, axis=1)
+                bids = pdf["id"].to_numpy()
+                sims = np.round((bm @ mat_.T) / np.outer(bn, norm_), 6)
+                ii, jj = np.nonzero((sims >= thr) & (bids[:, None] < ids_[None, :]))
+                yield pd.DataFrame(
+                    {"id_a": bids[ii], "id_b": ids_[jj], "cosine": sims[ii, jj]}
+                )
+
+        return (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .mapInPandas(score, out_schema)
+        )
+
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
@@ -277,18 +396,15 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("__vb"),
         _norm(F.col(vec_col)).alias("__nb"),
     )
-    if exact:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        planes = _hyperplanes(dim, n_planes, seed)
-        a = a.withColumn("__bucket", lsh_signature(F.col("__va"), planes))
-        b = b.withColumn("__bucket", lsh_signature(F.col("__vb"), planes))
-        pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
+    planes = _hyperplanes(dim, n_planes, seed)
+    a = a.withColumn("__bucket", lsh_signature(F.col("__va"), planes))
+    b = b.withColumn("__bucket", lsh_signature(F.col("__vb"), planes))
+    pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "cosine",
             F.round(
-                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+                pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
             ),
         )
         .filter(F.col("cosine") >= threshold)
