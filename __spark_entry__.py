@@ -895,6 +895,25 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles (median / p90) of value per event_type — exact
+    `percentile` (linear interpolation), matching DuckDB quantile_cont."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+_PCT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -924,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_ordered": q_parts_never_ordered,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
+        "value_percentiles": q_value_percentiles,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -961,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": _ANTI_ORACLE,
         "pivot_order_status": _PIVOT_ORACLE,
         "rollup_revenue": _ROLLUP_ORACLE,
+        "value_percentiles": _PCT_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,

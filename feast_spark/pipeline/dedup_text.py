@@ -240,7 +240,20 @@ def lsh_candidate_pairs(
     )
     if not verify:
         return cand
-    sh = df.select(
+    # verify only needs shingle sets for docs that appear in a candidate
+    # pair — semi-join first so the (interpreted, relatively expensive)
+    # shingle-array construction runs on |candidates| docs, not the
+    # whole corpus
+    cand = cand.persist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs_needed = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi"
+    )
+    sh = docs_needed.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).persist()  # joined twice in the verify stage
     out = (

@@ -181,3 +181,35 @@ def test_entityless_view(spark):
             .sort_values("doc_id")
         )
         assert got["total"].tolist() == [10, 20], strategy
+
+
+def test_composite_key_pit(spark):
+    """PIT join on two join keys (entity composite), both strategies."""
+    ts = pd.Timestamp("2024-01-05")
+    feats = pd.DataFrame(
+        {
+            "tenant": ["t1", "t1", "t2", "t2"],
+            "doc_id": ["a", "a", "a", "b"],
+            "event_timestamp": [ts, ts + pd.Timedelta(hours=1)] * 2,
+            "created": [ts] * 4,
+            "val": [1, 2, 3, 4],
+        }
+    )
+    spine = pd.DataFrame(
+        {
+            "tenant": ["t1", "t2", "t2", "t3"],
+            "doc_id": ["a", "a", "b", "a"],
+            "event_timestamp": [ts + pd.Timedelta(hours=2)] * 4,
+        }
+    )
+    sdf, fdf = datagen.to_spark(spark, spine), datagen.to_spark(spark, feats)
+    for strategy in ("join_dedup", "merge_asof", "broadcast"):
+        got = (
+            point_in_time_join(
+                sdf, fdf, ["tenant", "doc_id"], ["val"],
+                created_col="created", strategy=strategy,
+            )
+            .toPandas()
+            .sort_values(["tenant", "doc_id"])
+        )
+        assert got["val"].fillna(-1).tolist() == [2, 3, 4, -1], strategy
