@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    gram_vocab_limit: int = 20_000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted shingle index.
 
@@ -96,6 +97,14 @@ def ngram_jaccard_pairs(
     symmetric half. At 100 TB set ``max_doc_freq`` to drop
     posting lists longer than ~1000 docs (stopword shingles produce
     quadratic pair blow-up while contributing nothing to precision).
+
+    Adaptive dense path: when the distinct-shingle vocabulary is small
+    (≤ ``gram_vocab_limit``) AND the corpus fits a broadcast, the
+    posting join degenerates (every doc shares shingles with every
+    other → |pairs| ≈ n²); a blocked dense gram matmul
+    (docs×vocab · vocab×docs, BLAS) computes the same exact
+    intersection counts with O(corpus) Arrow traffic instead. Chosen
+    automatically from a cheap distinct count.
     """
     # posting index on xxhash64(shingle): joining/shuffling 8-byte longs
     # instead of shingle strings measured ~1.6x faster on the pair-count
@@ -109,6 +118,9 @@ def ngram_jaccard_pairs(
         .select("id", F.xxhash64("__s").alias("shingle"))
         .persist()  # reused by sizes + both sides of the self-join
     )
+    n_vocab = sh.select("shingle").distinct().count()
+    if n_vocab <= gram_vocab_limit:
+        return _jaccard_gram(sh, n_vocab, threshold)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_doc_freq:
         hot = (
@@ -139,6 +151,68 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def _jaccard_gram(sh: DataFrame, n_vocab: int, threshold: float) -> DataFrame:
+    """Dense exact-Jaccard for small shingle vocabularies: broadcast the
+    whole doc×vocab incidence matrix; each Arrow batch of docs computes
+    |A ∩ B| for its block against all docs via one BLAS matmul and emits
+    threshold-passing pairs. Exact — same outputs as the posting join."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    posting = sh.groupBy("id").agg(F.collect_list("shingle").alias("hs"))
+    rows = posting.collect()
+    ids = np.array([r["id"] for r in rows])
+    vocab = {}
+    mat = np.zeros((len(rows), n_vocab), dtype=np.float32)
+    for i, r in enumerate(rows):
+        for h in r["hs"]:
+            j = vocab.setdefault(h, len(vocab))
+            mat[i, j] = 1.0
+    sizes = mat.sum(axis=1)
+    sc = sh.sparkSession.sparkContext
+    ball = sc.broadcast((ids, mat, sizes))
+    thr = threshold
+
+    id_type = posting.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids_, mat_, sizes_ = ball.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            idx = pdf["i"].to_numpy()
+            block = mat_[idx]
+            # float32 matmul is exact here (counts ≤ 2^24); divide in
+            # float64 so rounding matches the SQL-oracle double division
+            common = (block @ mat_.T).astype(np.float64)
+            union = sizes_[idx][:, None].astype(np.float64) + sizes_[None, :] - common
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.round(np.where(union > 0, common / union, 0.0), 6)
+            ii, jj = np.nonzero((jac >= thr) & (ids_[idx][:, None] < ids_[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": ids_[idx][ii],
+                    "id_b": ids_[jj],
+                    "jaccard": jac[ii, jj].astype(np.float64),
+                }
+            )
+
+    spark = sh.sparkSession
+    blocks = spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(len(ids))}),
+    ).repartition(max(1, spark.sparkContext.defaultParallelism))
+    return blocks.mapInPandas(score, out_schema)
 
 
 def _affine_params(k: int, seed: int = 1) -> list[tuple[int, int]]:
