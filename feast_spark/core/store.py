@@ -300,6 +300,25 @@ class FeatureStore:
 
         view = self._views[view_name]
         fdf = self._build_view_df(view)
+        # SortedFeatureView: skip dedup/agg, write range-partitioned +
+        # sort-key-ordered files (reference sorted_feature_view.py:29-67,
+        # feature_builder.py:69-83)
+        from feast_spark.core.feature_view import SortedFeatureView
+
+        if isinstance(view, SortedFeatureView):
+            from feast_spark.materialize.writers import materialize_sorted
+
+            if start is not None:
+                fdf = fdf.filter(F.col(view.timestamp_field) >= F.lit(start))
+            if end is not None:
+                fdf = fdf.filter(F.col(view.timestamp_field) <= F.lit(end))
+            materialize_sorted(
+                fdf,
+                out_path,
+                view.join_keys,
+                list(view.sort_keys) or [(view.timestamp_field, "ASC")],
+            )
+            return None
         return materialize_view(
             self.spark,
             fdf,

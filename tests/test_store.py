@@ -273,3 +273,27 @@ def test_store_materialize_and_persist(spark, fixtures, tmp_path):
     staged = str(tmp_path / "staged")
     job.to_remote_storage(staged)
     assert spark.read.parquet(staged).count() == 10
+
+
+def test_sorted_view_materialization(spark, fixtures, tmp_path):
+    from feast_spark.core.feature_view import SortedFeatureView
+
+    store, _, seqs, *_ = fixtures
+    view = SortedFeatureView(
+        name="seq_sorted",
+        source=DataFrameSource(
+            df=datagen.to_spark(spark, seqs), created_timestamp_column="created"
+        ),
+        entities=[Entity("doc_id")],
+        sort_keys=[("doc_id", "ASC"), ("event_timestamp", "DESC")],
+    )
+    store.apply(view)
+    out = str(tmp_path / "sorted_view")
+    store.materialize("seq_sorted", out)
+    back = spark.read.parquet(out)
+    # no dedup: every source row written
+    assert back.count() == len(seqs)
+    chk = back.select("doc_id", "event_timestamp", F.spark_partition_id().alias("p")).toPandas()
+    for (_, _), grp in chk.groupby(["p", "doc_id"]):
+        ts = grp["event_timestamp"].values
+        assert (ts[:-1] >= ts[1:]).all()
