@@ -28,16 +28,26 @@ from pyspark.sql import functions as F
 TTL_7D = 7 * 86400
 
 
+def _prep(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs the queries' semantics depend on — the
+    driver supplies its own session, which may not be UTC/ANSI-off:
+    epoch exports of TIMESTAMP_NTZ go through the session timezone, and
+    the engine targets non-ANSI arithmetic."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _prep(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _epoch(col):
@@ -342,7 +352,7 @@ FROM events
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style pricing summary (scan + filter + grouped agg)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -367,8 +377,8 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_customer_orders(spark, sf_dir):
     """Broadcast dim join + agg: order totals per market segment."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _prep(spark).read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
     out = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
@@ -816,8 +826,8 @@ FROM events GROUP BY 1
 
 def q_customers_with_orders(spark, sf_dir):
     """Left-semi join (EXISTS): customers that placed at least one order."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _prep(spark).read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_semi"
     ).select("c_custkey", "c_mktsegment")
@@ -831,8 +841,8 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 def q_parts_never_ordered(spark, sf_dir):
     """Left-anti join (NOT EXISTS): parts with no lineitem."""
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = _prep(spark).read.parquet(f"{sf_dir}/part.parquet")
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )
@@ -846,8 +856,8 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 
 def q_pivot_order_status(spark, sf_dir):
     """Pivot: order counts per market segment x order status."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = _prep(spark).read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     out = (
         joined.groupBy("c_mktsegment")
@@ -875,7 +885,7 @@ GROUP BY c_mktsegment
 def q_rollup_revenue(spark, sf_dir):
     """Rollup grouping sets: revenue by (returnflag, linestatus), by
     returnflag, and grand total."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
     out = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
