@@ -252,70 +252,81 @@ def _pit_merge_asof(
     include_feature_ts: bool,
     tie_breaker_cols: Sequence[str],
 ) -> DataFrame:
-    """Cogrouped sorted-merge as-of join (Arrow-vectorized, one shuffle/side).
+    """Cogrouped sorted-merge as-of join (Arrow-vectorized).
 
-    Cogrouping is on a HASH BUCKET of the join keys, not the raw keys:
-    with millions of doc_ids, per-key cogroups would mean millions of
-    tiny pandas invocations (measured 5x slower at sf0.1). Bucketing to
-    ~4x parallelism groups keeps Arrow batches large, and pandas
-    ``merge_asof(by=keys)`` does the per-key as-of logic vectorized
-    inside each bucket. Bucket count scales with cluster parallelism; a
-    hot key still lands in one bucket but shares it with ~K/B other
-    keys, and the merge is linear in bucket size.
+    Physical design, tuned for wide payloads (token arrays):
+
+    * Cogrouping is on a HASH BUCKET of the join keys, not the raw keys:
+      with millions of doc_ids, per-key cogroups would mean millions of
+      tiny pandas invocations (measured 5x slower at sf0.1). Bucketing
+      to ~4x parallelism groups keeps Arrow batches large, and pandas
+      ``merge_asof(by=keys)`` does the per-key as-of logic vectorized
+      inside each bucket.
+    * The pandas stage matches on NARROW rows only — (keys, ts, row id)
+      — and returns (spine_row_id, matched_feature_row_id). Feature
+      payloads (token arrays etc.) never cross the JVM↔Arrow↔pandas
+      boundary; they are re-attached JVM-side with an equi-join on the
+      unique feature-row id. For 300-byte token payloads this cuts the
+      Python-side traffic ~10x.
+    * A hot key still lands in one bucket but shares it with ~K/B other
+      keys; the per-bucket merge is linear in bucket size.
     """
-    s = _with_row_id(spine)
-    f_needed = list(
-        dict.fromkeys(
-            join_keys
-            + [feature_ts_col]
-            + ([created_col] if created_col else [])
-            + feature_cols
-            + list(tie_breaker_cols)
-        )
-    )
-    f = features.select(*f_needed)
-
-    out_schema_fields = (
-        [s.schema[c] for c in s.columns]
-        + [f.schema[c] for c in feature_cols]
-        + [f.schema[feature_ts_col]]
-    )
     from pyspark.sql import types as T
 
-    out_fields = []
-    for fld in out_schema_fields[: len(s.columns) + len(feature_cols)]:
-        out_fields.append(T.StructField(fld.name, fld.dataType, True))
-    out_fields.append(T.StructField("__feature_ts", T.TimestampType(), True))
-    out_schema = T.StructType(out_fields)
+    s = _with_row_id(spine)
+    f = features.withColumn("__feast_fid", F.monotonically_increasing_id())
 
-    spine_cols = list(s.columns)
+    keys = list(join_keys)
+    tiebreaks = list(tie_breaker_cols)
+    narrow_f_cols = list(
+        dict.fromkeys(
+            keys + [feature_ts_col] + ([created_col] if created_col else []) + tiebreaks
+        )
+    ) + ["__feast_fid"]
+    narrow_s = s.select(*keys, spine_ts_col, SPINE_ROW_ID)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(SPINE_ROW_ID, T.LongType(), False),
+            T.StructField("__feast_fid", T.LongType(), True),
+            T.StructField("__feature_ts", T.TimestampType(), True),
+        ]
+    )
+
     ttl = int(ttl_seconds) if ttl_seconds else 0
     created = created_col
-    tiebreaks = list(tie_breaker_cols)
-    fcols = list(feature_cols)
     f_ts = feature_ts_col
     s_ts = spine_ts_col
-    keys = list(join_keys)
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return pd.DataFrame(
+                {
+                    SPINE_ROW_ID: pd.array([], dtype="Int64"),
+                    "__feast_fid": pd.array([], dtype="Int64"),
+                    "__feature_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
         left = left.sort_values(s_ts, kind="mergesort")
         if right.empty:
-            res = left.copy()
-            for c in fcols:
-                res[c] = None
-            res["__feature_ts"] = pd.NaT
-            return res[[*spine_cols, *fcols, "__feature_ts"]]
+            return pd.DataFrame(
+                {
+                    SPINE_ROW_ID: left[SPINE_ROW_ID].astype("Int64"),
+                    "__feast_fid": pd.array([None] * len(left), dtype="Int64"),
+                    "__feature_ts": pd.Series([pd.NaT] * len(left), dtype="datetime64[us]"),
+                }
+            )
         # Sort so the LAST row per (key, feature-ts) run is the created-ts
         # winner: merge_asof(direction backward, by=keys) picks the last
         # sorted row of the key group with ts <= entity_ts, so ascending
         # (ts, created, *tiebreaks) encodes (max ts, then max created).
         sort_cols = [f_ts] + ([created] if created else []) + tiebreaks
         right = right.sort_values(sort_cols, kind="mergesort")
-        right_sel = right[[*keys, f_ts, *fcols]].rename(columns={f_ts: "__feature_ts"})
+        right_sel = right[[*keys, f_ts, "__feast_fid"]].rename(
+            columns={f_ts: "__feature_ts"}
+        )
         merged = pd.merge_asof(
-            left,
+            left[[*keys, s_ts, SPINE_ROW_ID]],
             right_sel,
             left_on=s_ts,
             right_on="__feature_ts",
@@ -324,33 +335,24 @@ def _pit_merge_asof(
             allow_exact_matches=True,
             tolerance=pd.Timedelta(seconds=ttl) if ttl > 0 else None,
         )
-        # merge_asof fills no-match rows with NaN; normalize to None /
-        # nullable dtypes so the Arrow schema (array<int>, int, ...) holds.
-        miss = merged["__feature_ts"].isna()
-        if miss.any():
-            for c in fcols:
-                merged[c] = merged[c].astype(object)
-                merged.loc[miss, c] = None
-        for fld in out_schema.fields:
-            if fld.name in fcols and fld.dataType.typeName() in ("integer", "long"):
-                tgt = "Int32" if fld.dataType.typeName() == "integer" else "Int64"
-                merged[fld.name] = pd.array(
-                    [None if v is None or (isinstance(v, float) and pd.isna(v)) else int(v)
-                     for v in merged[fld.name]],
-                    dtype=tgt,
-                )
-        return merged[[*spine_cols, *fcols, "__feature_ts"]]
+        return pd.DataFrame(
+            {
+                SPINE_ROW_ID: merged[SPINE_ROW_ID].astype("Int64"),
+                "__feast_fid": merged["__feast_fid"].astype("Int64"),
+                "__feature_ts": merged["__feature_ts"],
+            }
+        )
 
     n_buckets = spine.sparkSession.sparkContext.defaultParallelism * 4
-    s_b = s.withColumn("__b", F.pmod(F.hash(*join_keys), F.lit(n_buckets)))
+    s_b = narrow_s.withColumn("__b", F.pmod(F.hash(*keys), F.lit(n_buckets)))
     # Prefix-rename the feature side: when spine and features derive from
     # the same source relation, both sides carry attributes with equal
     # exprIds and Spark's cogroup deduplication silently prunes the
     # right-side copies. Fresh names guarantee fresh attributes; the
     # pandas fn strips the prefix.
-    f_r = f.select(*[F.col(c).alias(f"__r_{c}") for c in f.columns])
+    f_r = f.select(*[F.col(c).alias(f"__r_{c}") for c in narrow_f_cols])
     f_b = f_r.withColumn(
-        "__b", F.pmod(F.hash(*[f"__r_{k}" for k in join_keys]), F.lit(n_buckets))
+        "__b", F.pmod(F.hash(*[f"__r_{k}" for k in keys]), F.lit(n_buckets))
     )
     grouped = s_b.groupBy("__b").cogroup(f_b.groupBy("__b"))
 
@@ -360,12 +362,19 @@ def _pit_merge_asof(
         )
         return merge(left.drop(columns="__b", errors="ignore"), right)
 
-    merged = grouped.applyInPandas(
+    matched = grouped.applyInPandas(
         lambda left, right: merge_bucket(left, right), out_schema
     )
 
-    keep = spine.columns + fcols + (["__feature_ts"] if include_feature_ts else [])
-    return merged.select(*keep)
+    payload = f.select("__feast_fid", *feature_cols)
+    out = (
+        s.join(matched, on=SPINE_ROW_ID, how="left")
+        .join(payload, on="__feast_fid", how="left")
+    )
+    keep = spine.columns + list(feature_cols) + (
+        ["__feature_ts"] if include_feature_ts else []
+    )
+    return out.select(*keep)
 
 
 def multi_view_pit_join(
