@@ -924,6 +924,54 @@ FROM events GROUP BY event_type
 """
 
 
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus statistics: top-3 TF-IDF terms per document (docs < 100)."""
+    from pyspark.sql import Window
+
+    from feast_spark.pipeline.text import tf_idf
+
+    d = _docs(spark, sf_dir)
+    scores = tf_idf(d).filter(F.col("id") < 100)
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "word",
+            "tf",
+            "tfidf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) tf FROM words GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, COUNT(*) df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (word), n
+  WHERE tf.doc_id < 100
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) rnk
+  FROM scored
+)
+SELECT doc_id, word, tf, tfidf, CAST(rnk AS BIGINT) rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -954,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
         "value_percentiles": q_value_percentiles,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -992,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_order_status": _PIVOT_ORACLE,
         "rollup_revenue": _ROLLUP_ORACLE,
         "value_percentiles": _PCT_ORACLE,
+        "tfidf_top_terms": _TFIDF_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,

@@ -154,6 +154,8 @@ def point_in_time_join(
         feature_cols = [c for c in features.columns if c not in excluded]
     feature_cols = list(feature_cols)
 
+    if strategy == "auto":
+        strategy = _pick_strategy(features)
     if strategy in ("join_dedup", "broadcast"):
         return _pit_join_dedup(
             spine,
@@ -182,6 +184,25 @@ def point_in_time_join(
             tie_breaker_cols=tie_breaker_cols,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+BROADCAST_THRESHOLD_BYTES = 100 * 1024 * 1024  # Ray's default, ray.py:437-448
+
+
+def _pick_strategy(features: DataFrame) -> str:
+    """Auto physical-strategy choice: broadcast when Catalyst's size
+    estimate for the feature side is under the Ray store's 100 MB
+    threshold (ray.py:437-448); otherwise the Catalyst-native
+    join_dedup. The Arrow merge_asof path stays opt-in — it wins when
+    per-key version fan-out makes the conditional join's intermediate
+    explode, which a size estimate can't see."""
+    try:
+        size = features._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        if int(size.toString() if hasattr(size, "toString") else size) <= BROADCAST_THRESHOLD_BYTES:
+            return "broadcast"
+    except Exception:
+        pass
+    return "join_dedup"
 
 
 def _pit_join_dedup(

@@ -129,3 +129,31 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
         .otherwise(F.lit("es"))
     )
     return df.withColumn(out_col, pred)
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, word) TF-IDF over normalized whitespace words:
+    ``tf * ln(N / df)`` (no smoothing). Plan: explode words (flatMap) →
+    tf hash-aggregate on (doc, word) → document-frequency aggregate on
+    word → broadcast-join idf back. Two shuffles, both map-side
+    combinable; the df table is |vocab|-sized (broadcastable for
+    natural-language vocabularies)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(normalize_text(F.col(text_col)))).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+        .select("id", "word", F.col("tf").cast("long").alias("tf"), "tfidf")
+    )

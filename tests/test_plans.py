@@ -127,3 +127,18 @@ def test_iceberg_conf_wiring(spark):
     ddl = create_sequences_table_ddl("feast.db.seqs")
     assert "PARTITIONED BY (days(event_timestamp), bucket(64, doc_id))" in ddl
     assert iceberg_available(spark) in (True, False)  # gated, no jar here
+
+
+def test_auto_strategy_broadcasts_small_side(spark, ev):
+    """strategy='auto' picks broadcast under the 100 MB estimate
+    (Ray heuristic, ray.py:437-448)."""
+    spine = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    feats = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("event_timestamp"), "value"
+    )
+    out = point_in_time_join(
+        spine, feats, ["user_id"], ["value"], ttl_seconds=86400, strategy="auto"
+    )
+    assert "BroadcastHashJoin" in _plan(out)
