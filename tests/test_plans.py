@@ -142,3 +142,41 @@ def test_auto_strategy_broadcasts_small_side(spark, ev):
         spine, feats, ["user_id"], ["value"], ttl_seconds=86400, strategy="auto"
     )
     assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_bucketed_feature_table_skips_feature_shuffle(spark, ev, tmp_path):
+    """A bucketBy(keys)+sortBy table joins without a feature-side
+    Exchange — at 10^12 rows that shuffle is the dominant PIT cost.
+    (Broadcast/AQE disabled to force SMJ so exchanges are visible.)"""
+    from feast_spark.materialize.bucketed import (
+        read_feature_table,
+        write_bucketed_feature_table,
+    )
+
+    feats = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("event_timestamp"), "value"
+    )
+    spine = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    spark.sql("DROP TABLE IF EXISTS clicks_bucketed_test")
+    write_bucketed_feature_table(feats, "clicks_bucketed_test", ["user_id"], n_buckets=4)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        bt = read_feature_table(spark, "clicks_bucketed_test")
+        bucketed = point_in_time_join(
+            spine, bt, ["user_id"], ["value"], ttl_seconds=86400
+        )
+        plain = point_in_time_join(
+            spine, feats, ["user_id"], ["value"], ttl_seconds=86400
+        )
+        nb = _plan(bucketed).count("Exchange hashpartitioning(user_id")
+        np_ = _plan(plain).count("Exchange hashpartitioning(user_id")
+        assert nb == np_ - 1, (nb, np_)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS clicks_bucketed_test")
