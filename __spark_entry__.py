@@ -972,6 +972,44 @@ SELECT doc_id, word, tf, tfidf, CAST(rnk AS BIGINT) rnk FROM ranked WHERE rnk <=
 """
 
 
+
+def q_odfv_adjusted(spark, sf_dir):
+    """On-demand transformation through the distributed mapInPandas path:
+    PIT click value -> 2x + 1 computed post-retrieval (reference ODFV
+    pandas mode, on_demand_feature_view.py:46-212)."""
+    import pandas as pd
+
+    from feast_spark.core.store import _apply_odfv
+    from feast_spark.core.feature_view import Field, OnDemandFeatureView
+
+    base = q_pit_latest_click(spark, sf_dir)
+    odfv = OnDemandFeatureView(
+        name="adjusted",
+        udf=lambda pdf: pd.DataFrame({"adjusted_value": pdf["click_value"] * 2.0 + 1.0}),
+        schema=[Field("adjusted_value", "double")],
+    )
+    out = _apply_odfv(base, odfv, None, False)
+    return out.select("spine_id", "user_id", "ts_epoch", "adjusted_value")
+
+
+_ODFV_ORACLE = """
+WITH spine AS (
+  SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
+), feats AS (
+  SELECT user_id, ts fts, value, event_id FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY f.fts DESC, f.event_id DESC) rn
+  FROM spine s JOIN feats f
+    ON f.user_id = s.user_id AND f.fts <= s.ts AND f.fts >= s.ts - INTERVAL 7 DAY
+)
+SELECT s.sid AS spine_id, s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       r.value * 2.0 + 1.0 AS adjusted_value
+FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r ON s.sid = r.sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1003,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "value_percentiles": q_value_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "odfv_adjusted": q_odfv_adjusted,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -1042,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ROLLUP_ORACLE,
         "value_percentiles": _PCT_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,
+        "odfv_adjusted": _ODFV_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,
