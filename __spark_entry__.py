@@ -1010,6 +1010,61 @@ FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r ON s.sid =
 """
 
 
+
+def q_pit_windowed_agg(spark, sf_dir):
+    """North-star composition: 24h tumbling aggregates of click values
+    per user, PIT-joined to the purchase spine (each purchase sees the
+    latest CLOSED window — no leakage from the in-progress window)."""
+    from feast_spark.operators.asof_join import point_in_time_join
+    from feast_spark.operators.windows import tumbling_agg
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    wins = tumbling_agg(clicks, ["user_id"], "ts", [("sum", "value"), ("count", "value")], 86400)
+    feats = wins.select(
+        "user_id",
+        F.col("window_end").alias("event_timestamp"),
+        F.round("sum_value_86400s", 6).alias("win_sum"),
+        F.col("count_value_86400s").cast("long").alias("win_n"),
+    )
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    out = point_in_time_join(
+        spine, feats, ["user_id"], ["win_sum", "win_n"], ttl_seconds=7 * 86400
+    )
+    return out.select(
+        "spine_id", "user_id", _epoch("event_timestamp").alias("ts_epoch"),
+        "win_sum", "win_n",
+    )
+
+
+_PIT_WINAGG_ORACLE = """
+WITH wins AS (
+  SELECT user_id,
+         CAST((floor(epoch(ts) / 86400) + 1) * 86400 AS BIGINT) AS wend,
+         round(SUM(value), 6) AS win_sum,
+         COUNT(value) AS win_n
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), spine AS (
+  SELECT event_id sid, user_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT s.sid, w.win_sum, w.win_n,
+         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY w.wend DESC) rn
+  FROM spine s JOIN wins w
+    ON w.user_id = s.user_id AND w.wend <= s.ts_epoch
+   AND w.wend >= s.ts_epoch - 7 * 86400
+)
+SELECT s.sid AS spine_id, s.user_id, s.ts_epoch, r.win_sum, r.win_n
+FROM spine s LEFT JOIN (SELECT sid, win_sum, win_n FROM ranked WHERE rn = 1) r
+  ON s.sid = r.sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1042,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "odfv_adjusted": q_odfv_adjusted,
+        "pit_windowed_agg": q_pit_windowed_agg,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -1082,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": _PCT_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,
         "odfv_adjusted": _ODFV_ORACLE,
+        "pit_windowed_agg": _PIT_WINAGG_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,
