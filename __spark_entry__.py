@@ -1065,6 +1065,73 @@ FROM spine s LEFT JOIN (SELECT sid, win_sum, win_n FROM ranked WHERE rn = 1) r
 """
 
 
+
+def q_pit_backfill(spark, sf_dir):
+    """Backfill semantics in the gate: half the click rows get a
+    backfilled duplicate (same event ts, later created, shifted value);
+    the created tie-break must pick the backfill row exactly where one
+    exists (reference backfill test,
+    test_universal_historical_retrieval.py:546-641)."""
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    ev = _events(spark, sf_dir)
+    base = ev.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("ts").alias("created"),
+        F.col("value").alias("click_value"),
+        "event_id",
+    )
+    backfill = base.filter(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        "event_timestamp",
+        (F.col("created") + F.expr("INTERVAL 30 DAYS")).alias("created"),
+        (F.col("click_value") + F.lit(1000.0)).alias("click_value"),
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+    )
+    feats = base.unionByName(backfill)
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    out = point_in_time_join(
+        spine, feats, ["user_id"], ["click_value"],
+        created_col="created", ttl_seconds=TTL_7D,
+        tie_breaker_cols=["event_id"],
+    )
+    return out.select(
+        "spine_id", "user_id", _epoch("event_timestamp").alias("ts_epoch"), "click_value"
+    )
+
+
+_PIT_BACKFILL_ORACLE = """
+WITH base AS (
+  SELECT user_id, ts fts, ts created, value AS click_value, event_id
+  FROM events WHERE event_type = 'click'
+), feats AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT user_id, fts, created + INTERVAL 30 DAY,
+         click_value + 1000.0, event_id + 10000000
+  FROM base WHERE event_id % 2 = 0
+), spine AS (
+  SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT s.sid, f.click_value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid
+           ORDER BY f.fts DESC, f.created DESC, f.event_id DESC) rn
+  FROM spine s JOIN feats f
+    ON f.user_id = s.user_id AND f.fts <= s.ts AND f.fts >= s.ts - INTERVAL 7 DAY
+)
+SELECT s.sid AS spine_id, s.user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       r.click_value
+FROM spine s LEFT JOIN (SELECT sid, click_value FROM ranked WHERE rn = 1) r
+  ON s.sid = r.sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1098,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "odfv_adjusted": q_odfv_adjusted,
         "pit_windowed_agg": q_pit_windowed_agg,
+        "pit_backfill": q_pit_backfill,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
@@ -1139,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_ORACLE,
         "odfv_adjusted": _ODFV_ORACLE,
         "pit_windowed_agg": _PIT_WINAGG_ORACLE,
+        "pit_backfill": _PIT_BACKFILL_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,
