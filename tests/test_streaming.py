@@ -210,3 +210,56 @@ def test_stream_feature_view_ingest_to_retrieval(spark, tmp_path):
     assert got["n_tok"].notna().all()
     # latest-per-key dedup happened during ingest (one batch => one row/doc)
     assert spark.read.parquet(offline).count() == pdf["doc_id"].nunique()
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carries the open session
+    across micro-batches; a later-batch event beyond the gap closes and
+    emits it exactly once."""
+    import os
+
+    from feast_spark.streaming.stateful import stateful_sessionize
+
+    src = str(tmp_path / "stateful_src")
+    os.makedirs(src, exist_ok=True)
+    ts0 = pd.Timestamp("2024-01-01", tz="UTC")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "b"],
+            "event_timestamp": [ts0, ts0 + pd.Timedelta(minutes=5), ts0],
+            "created": [ts0] * 3,
+            "n_tok": [1, 2, 3],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "event_timestamp": [ts0 + pd.Timedelta(hours=3)] * 2,
+            "created": [ts0] * 2,
+            "n_tok": [4, 5],
+        }
+    )
+    datagen.to_spark(spark, b1).coalesce(1).write.mode("append").parquet(src)
+    datagen.to_spark(spark, b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = stateful_sessionize(stream, ["doc_id"], "event_timestamp", 1800)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stateful_out").toPandas().sort_values("doc_id")
+    # exactly the two first-batch sessions closed by the 3h-later events
+    assert len(got) == 2
+    a = got[got.doc_id == "a"].iloc[0]
+    assert a["n_events"] == 2 and a["session_end"] - a["session_start"] == pd.Timedelta(minutes=5)
+    b = got[got.doc_id == "b"].iloc[0]
+    assert b["n_events"] == 1
