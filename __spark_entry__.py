@@ -1132,6 +1132,27 @@ FROM spine s LEFT JOIN (SELECT sid, click_value FROM ranked WHERE rn = 1) r
 """
 
 
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup selection: the surviving doc (min id) per content
+    fingerprint group."""
+    from feast_spark.pipeline.dedup_text import exact_dedup_docs
+
+    out = exact_dedup_docs(_docs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+
+
+_EXACT_DEDUP_DOCS_ORACLE = r"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id) rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1171,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": q_quality_features,
         "lang_detect": q_lang_detect,
         "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1213,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": _QUALITY_ORACLE,
         "lang_detect": _LANG_ORACLE,
         "exact_dup_groups": _EXACT_DUP_ORACLE,
+        "exact_dedup_docs": _EXACT_DEDUP_DOCS_ORACLE,
         "minhash_signatures": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
