@@ -148,8 +148,22 @@ class FeatureStore:
         """
         if isinstance(features, FeatureService):
             features = list(features.features)
-        if isinstance(entity_df, pd.DataFrame):
+        if isinstance(entity_df, str):
+            # SQL-string spine (reference supports SQL entity_df,
+            # test_universal_historical_retrieval.py SQL-entity case)
+            entity_df = self.spark.sql(entity_df)
+        elif isinstance(entity_df, pd.DataFrame):
             entity_df = self.spark.createDataFrame(entity_df)
+        # decimal→double narrowing (reference type table, type_map.py:
+        # 889-924); SQL literals like `2.0` are DECIMAL and would reach
+        # pandas ODFVs as decimal.Decimal objects otherwise
+        from pyspark.sql import types as T
+
+        dec_cols = [
+            f.name for f in entity_df.schema.fields if isinstance(f.dataType, T.DecimalType)
+        ]
+        for c in dec_cols:
+            entity_df = entity_df.withColumn(c, F.col(c).cast("double"))
 
         spine_ts = infer_event_timestamp_col(entity_df)
         refs = _group_refs(features)

@@ -297,3 +297,44 @@ def test_sorted_view_materialization(spark, fixtures, tmp_path):
     for (_, _), grp in chk.groupby(["p", "doc_id"]):
         ts = grp["event_timestamp"].values
         assert (ts[:-1] >= ts[1:]).all()
+
+
+def test_sql_string_entity_df(spark, fixtures):
+    """Reference parity: the spine can be a SQL string."""
+    store, spine, *_ = fixtures
+    datagen.to_spark(spark, spine.head(15)).createOrReplaceTempView("spine_view")
+    got = store.get_historical_features(
+        "SELECT doc_id, event_timestamp FROM spine_view",
+        ["sequences:n_tok"],
+    ).to_df()
+    assert len(got) == 15 and "n_tok" in got.columns
+
+
+def test_odfv_with_request_data(spark, fixtures):
+    """ODFV combining a retrieved feature with a request-time column
+    (reference RequestSource, data_source.py:588)."""
+    store, spine, *_ = fixtures
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"boosted": pdf["quality_score"].astype(float) * pdf["boost"]}
+        )
+
+    store.apply(
+        OnDemandFeatureView(
+            name="boosted_view",
+            udf=combine,
+            schema=[Field("boosted", "double")],
+            request_schema=[Field("boost", "double")],
+        )
+    )
+    req = spine.head(20).copy()
+    req["boost"] = 2.0
+    got = store.get_historical_features(
+        datagen.to_spark(spark, req),
+        ["stats:quality_score", "boosted_view:boosted"],
+    ).to_df()
+    m = got["boosted"].notna()
+    assert np.allclose(
+        got.loc[m, "boosted"], got.loc[m, "quality_score"].astype(float) * 2.0
+    )
