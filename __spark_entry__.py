@@ -1153,6 +1153,37 @@ SELECT doc_id, lang, source FROM (
 """
 
 
+
+def q_dedup_groups(spark, sf_dir):
+    """Transitive dedup groups: connected components over the exact
+    n-gram near-dup pairs (iterative min-label propagation — no SQL
+    oracle; component correctness is pytest-verified on known graphs)."""
+    from feast_spark.pipeline.dedup_text import ngram_jaccard_pairs
+    from feast_spark.pipeline.graph import dedup_groups_from_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    out = dedup_groups_from_pairs(docs, pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "keep",
+    )
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means assignments over the embedding table
+    (iterative; rows-only check, determinism pytest-verified)."""
+    from feast_spark.pipeline.graph import kmeans
+
+    emb = _emb(spark, sf_dir)
+    assign, _ = kmeans(emb, k=8, iters=5)
+    return assign.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1202,6 +1233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "image_features": q_image_features,
+        "dedup_groups": q_dedup_groups,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 

@@ -7,6 +7,11 @@ from feast_spark.pipeline.dedup_text import (
     simhash,
     simhash_pairs,
 )
+from feast_spark.pipeline.graph import (
+    connected_components,
+    dedup_groups_from_pairs,
+    kmeans,
+)
 from feast_spark.pipeline.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
@@ -24,6 +29,9 @@ from feast_spark.pipeline.text import (
 
 __all__ = [
     "brute_force_topk",
+    "connected_components",
+    "dedup_groups_from_pairs",
+    "kmeans",
     "detect_language",
     "doc_fingerprint",
     "exact_dup_groups",
