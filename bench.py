@@ -98,6 +98,9 @@ def main() -> None:
         t0 = time.monotonic()
         _noop_write(fn(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
+        # queries persist() reusable intermediates; drop them between
+        # queries so 40+ cached lineages don't squeeze the executor heap
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
