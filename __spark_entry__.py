@@ -1184,6 +1184,49 @@ def q_kmeans_clusters(spark, sf_dir):
     )
 
 
+
+def q_deterministic_sample(spark, sf_dir):
+    """Rerun-stable hash-threshold sampling (30% of documents) — the
+    reproducible alternative to RNG sampling for curation pipelines."""
+    from feast_spark.pipeline.sampling import deterministic_sample
+
+    out = deterministic_sample(_docs(spark, sf_dir), 0.3)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+
+
+_DET_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000 < 300000
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """LLM sequence packing: greedy fixed-budget training blocks per
+    source stream over hash-tokenized documents (iterative/stateful —
+    rows-only check; invariants pytest-verified)."""
+    from feast_spark.pipeline.sampling import pack_sequences
+
+    d = _docs(spark, sf_dir)
+    seqs = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("timestamp").alias("event_timestamp"),
+        F.transform(
+            F.split(F.col("text"), "\\s+"),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens")).filter(F.col("n_tok") > 0)
+    blocks = pack_sequences(seqs, block_tokens=1024, stream_cols=["source"])
+    return blocks.select(
+        "source",
+        "block_id",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))).alias("tokens_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1235,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "dedup_groups": q_dedup_groups,
         "kmeans_clusters": q_kmeans_clusters,
+        "deterministic_sample": q_deterministic_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1269,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_detect": _LANG_ORACLE,
         "exact_dup_groups": _EXACT_DUP_ORACLE,
         "exact_dedup_docs": _EXACT_DEDUP_DOCS_ORACLE,
+        "deterministic_sample": _DET_SAMPLE_ORACLE,
         "minhash_signatures": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -1,0 +1,156 @@
+"""Dataset curation: deterministic sampling, mixture weighting, and
+sequence packing for training-block assembly.
+
+* ``deterministic_sample`` — hash-threshold sampling: a row is kept iff
+  ``portable_hash64(id) mod M < frac*M``. Unlike ``df.sample`` this is
+  a pure function of the row (reproducible across reruns, resumes,
+  engines — DuckDB-oracle-checkable), composable per stratum for
+  mixture weights, and requires no RNG state coordination at 10^12
+  rows.
+* ``mixture_weights`` — per-source sampling fractions from target
+  mixture proportions.
+* ``pack_sequences`` — greedy sequential packing of token sequences
+  into fixed-budget training blocks per (source) stream: running
+  cumulative token counts assign block ids in one window pass; block
+  contents concatenate in deterministic (ts, id) order. The classic
+  LLM pretraining "sequence packing" shape, expressed relationally.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_spark.pipeline.text import portable_hash64
+
+_MOD = 1_000_000
+
+
+def deterministic_sample(
+    df: DataFrame,
+    frac: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep ~``frac`` of rows, chosen by id hash (stable across runs;
+    different ``salt`` values draw independent samples)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return df.filter(F.pmod(portable_hash64(key), F.lit(_MOD)) < int(frac * _MOD))
+
+
+def mixture_weights(
+    counts: dict[str, int], target_props: dict[str, float], total: int
+) -> dict[str, float]:
+    """Per-stratum sampling fractions hitting ``target_props`` of
+    ``total`` rows, capped at 1.0 (can't oversample without
+    replication)."""
+    out = {}
+    for k, prop in target_props.items():
+        want = prop * total
+        have = counts.get(k, 0)
+        out[k] = min(1.0, want / have) if have else 0.0
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling (hash-threshold per stratum)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col(strata_col))
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (
+            F.pmod(portable_hash64(key), F.lit(_MOD)) < int(frac * _MOD)
+        )
+        thresh = cond if thresh is None else (thresh | cond)
+    return df.filter(thresh if thresh is not None else F.lit(False))
+
+
+def pack_sequences(
+    df: DataFrame,
+    block_tokens: int = 2048,
+    stream_cols: Sequence[str] = ("source",),
+    id_col: str = "doc_id",
+    ts_col: str = "event_timestamp",
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Assign each sequence to a training block of ≤ ``block_tokens``
+    tokens per stream, preserving deterministic (ts, id) order;
+    sequences longer than the budget get their own block.
+
+    Plan: one window pass per stream computing the running token total,
+    block id = number of completed blocks BEFORE this row — a greedy
+    first-fit-in-order packing computed without any per-row Python.
+    Returns one row per block: stream cols, block_id, n_docs,
+    n_tokens, tokens (flattened in order).
+
+    Greedy-sequential is the standard streaming packing (same shape as
+    T5/GPT dataloader packing); block boundaries are a pure function of
+    the sorted prefix sums, so the assignment is reproducible and
+    resume-stable.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    stream_cols = list(stream_cols)
+    # Greedy accumulation has sequential state (a block closes only when
+    # the NEXT doc would overflow), which prefix sums cannot express —
+    # a closed-form floor(cum/budget) can overshoot the budget when
+    # short docs precede long ones. So: per-stream greedy pass in
+    # applyInPandas. Parallelism comes from the stream partitioning; for
+    # a single giant stream add a coarse time bucket to stream_cols
+    # (blocks then reset per bucket — the standard sharded-packing
+    # trade-off).
+    tokens_type = df.schema[tokens_col].dataType
+    out_schema = T.StructType(
+        [df.schema[c] for c in stream_cols]
+        + [
+            T.StructField("block_id", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("tokens", tokens_type),
+        ]
+    )
+    budget = int(block_tokens)
+    scols = stream_cols
+    tcol, icol, kcol, ncol = ts_col, id_col, tokens_col, n_tok_col
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([tcol, icol], kind="mergesort")
+        blocks = []
+        cur_toks: list = []
+        cur_n = cur_docs = 0
+        bid = 0
+        key = [pdf.iloc[0][c] for c in scols]
+
+        def close():
+            nonlocal bid, cur_toks, cur_n, cur_docs
+            if cur_docs:
+                blocks.append((*key, bid, cur_docs, cur_n, list(cur_toks)))
+                bid += 1
+                cur_toks, cur_n, cur_docs = [], 0, 0
+
+        for toks, n in zip(pdf[kcol], pdf[ncol]):
+            n = int(n)
+            if cur_docs and cur_n + n > budget:
+                close()
+            cur_toks.extend(toks)
+            cur_n += n
+            cur_docs += 1
+            if cur_n >= budget:
+                close()
+        close()
+        return pd.DataFrame(
+            blocks, columns=[*scols, "block_id", "n_docs", "n_tokens", "tokens"]
+        )
+
+    return df.select(*scols, tcol, icol, kcol, ncol).groupBy(*scols).applyInPandas(
+        pack, out_schema
+    )

@@ -1,0 +1,64 @@
+"""Deterministic sampling, mixture weighting, sequence packing."""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from feast_spark import datagen
+from feast_spark.pipeline.sampling import (
+    deterministic_sample,
+    mixture_weights,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def test_deterministic_sample_stable_and_sized(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = deterministic_sample(docs, 0.3).toPandas()
+    b = deterministic_sample(docs, 0.3).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # rerun-stable
+    assert 0.2 < len(a) / docs.count() < 0.4
+    # different salt -> different (roughly independent) sample
+    c = deterministic_sample(docs, 0.3, salt="v2").toPandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+    # nested: sample(0.3) ⊇ sample(0.1) (threshold monotonicity)
+    d = deterministic_sample(docs, 0.1).toPandas()
+    assert set(d["doc_id"]) <= set(a["doc_id"])
+
+
+def test_stratified_sample_and_mixture(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    s0, s1 = sorted(counts)[:2]
+    fracs = mixture_weights(counts, {s0: 0.5, s1: 0.5}, total=40)
+    got = stratified_sample(docs, "source", fracs).toPandas()
+    assert set(got["source"]) <= {s0, s1}
+    assert 20 <= len(got) <= 50  # ~40 targeted (25 docs/stratum, 0.8 frac)
+    # oversampling impossible without replication: capped at stratum size
+    fr2 = mixture_weights(counts, {s0: 1.0}, total=10_000)
+    assert fr2[s0] == 1.0
+
+
+def test_pack_sequences_invariants(spark):
+    pdf = datagen.token_sequences(n_docs=40, versions_per_doc=3, seed=12)
+    df = datagen.to_spark(spark, pdf)
+    blocks = pack_sequences(df, block_tokens=512).toPandas()
+    # token conservation
+    assert blocks["n_tokens"].sum() == pdf["n_tok"].sum()
+    assert blocks["n_docs"].sum() == len(pdf)
+    # budget: every multi-doc block fits; only single oversized docs may exceed
+    over = blocks[blocks["n_tokens"] > 512]
+    assert (over["n_docs"] == 1).all()
+    # tokens actually concatenated
+    assert (blocks["tokens"].map(len) == blocks["n_tokens"]).all()
+    # per-stream deterministic order: block_ids contiguous from 0
+    for src, grp in blocks.groupby("source"):
+        assert sorted(grp["block_id"]) == list(range(len(grp)))
+    # determinism across runs
+    blocks2 = pack_sequences(df, block_tokens=512).toPandas()
+    a = blocks.sort_values(["source", "block_id"]).reset_index(drop=True)
+    b = blocks2.sort_values(["source", "block_id"]).reset_index(drop=True)
+    assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
+    assert all(list(x) == list(y) for x, y in zip(a["tokens"], b["tokens"]))
