@@ -28,6 +28,8 @@ from feast_spark.materialize.jobs import MaterializationManifest, materialize_vi
 from feast_spark.operators.asof_join import point_in_time_join
 from feast_spark.operators.windows import lag_lead_features, rolling_agg, sessionize
 from feast_spark.pipeline.dedup_text import exact_dedup_docs, lsh_candidate_pairs
+from feast_spark.pipeline.graph import dedup_groups_from_pairs
+from feast_spark.pipeline.sampling import deterministic_sample, pack_sequences
 from feast_spark.pipeline.text import detect_language, quality_features
 
 
@@ -54,9 +56,13 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     kept = exact_dedup_docs(kept)
     stats["after_exact_dedup"] = kept.count()
     near = lsh_candidate_pairs(kept, num_hashes=16, bands=8, shingle_n=2, threshold=0.6)
-    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = kept.join(drop, on="doc_id", how="left_anti")
+    groups = dedup_groups_from_pairs(kept, near)  # transitive closure
+    kept = kept.join(groups.filter("keep").select("doc_id"), on="doc_id", how="left_semi")
     stats["after_near_dedup"] = kept.count()
+
+    # 2b. deterministic (rerun-stable) subsample for the mixture budget
+    kept = deterministic_sample(kept, 0.9)
+    stats["after_sampling"] = kept.count()
 
     # 3. tokenize → token-sequence feature table (synthetic event times:
     #    deterministic offsets; real pipelines carry ingestion times)
@@ -75,7 +81,15 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
         ).alias("created"),
     )
 
-    # 4. materialize with lineage manifest (idempotent resume)
+    # 4. materialize with lineage manifest (idempotent resume).
+    # The curation DAG above (dedup pairs -> connected components ->
+    # semi-joins) is deep; cut the lineage with a staging write so the
+    # per-day materialization reads a flat parquet table instead of
+    # re-executing the curation per partition (this is also what a real
+    # pipeline does: curated sequences are a durable intermediate).
+    staging = os.path.join(out_dir, "curated_sequences")
+    seqs.write.mode("overwrite").parquet(staging)
+    seqs = spark.read.parquet(staging)
     mat_path = os.path.join(out_dir, "sequences")
     materialize_view(spark, seqs, mat_path, ["doc_id"], created_col="created")
     stats["manifest"] = MaterializationManifest(mat_path).metrics()
@@ -103,6 +117,24 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     train_path = os.path.join(out_dir, "training_set")
     feats.write.mode("overwrite").parquet(train_path)
     stats["training_rows"] = spark.read.parquet(train_path).count()
+
+    # 6. pack retrieved sequences into fixed-budget training blocks
+    packed = pack_sequences(
+        spark.read.parquet(train_path)
+        .filter(F.col("feat_n_tok").isNotNull())
+        .select(
+            "doc_id", "event_timestamp",
+            F.col("feat_tokens").alias("tokens"),
+            F.col("feat_n_tok").alias("n_tok"),
+            F.col("feat_source").alias("source"),
+        ),
+        block_tokens=2048,
+    )
+    blocks_path = os.path.join(out_dir, "training_blocks")
+    packed.write.mode("overwrite").parquet(blocks_path)
+    bdf = spark.read.parquet(blocks_path)
+    stats["training_blocks"] = bdf.count()
+    stats["packed_tokens"] = bdf.agg(F.sum("n_tokens")).first()[0]
     return stats
 
 

@@ -152,6 +152,12 @@ def materialize_view(
     compute.py:88-130). ``repartition`` mirrors the reference's
     ``partitions`` config knob (compute.py:197-200).
     ``fail_after_partition`` is a test hook for crash-resume testing.
+
+    NOTE: each day partition is computed and committed separately, so
+    ``features`` is re-evaluated once per day. Pass a TABLE-backed frame
+    (parquet/Iceberg scan); if the frame carries a deep computation DAG
+    (joins, iterative algorithms), stage it to parquet first — measured
+    ~30x on a curation pipeline (examples/training_pipeline.py).
     """
     manifest = MaterializationManifest(out_path)
     done = manifest.completed()
