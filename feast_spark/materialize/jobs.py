@@ -140,24 +140,30 @@ def materialize_view(
     *,
     only_latest: bool = True,
     repartition: int | None = None,
+    chunk_days: int = 32,
     fail_after_partition: str | None = None,
 ) -> MaterializationResult:
     """Materialize ``features`` to date-partitioned parquet with manifest
     checkpointing; re-running skips completed partitions.
 
-    ``only_latest`` applies the latest-per-key dedup WITHIN each day
-    partition (snapshot-per-day semantics, keeping the job
-    embarrassingly parallel across days; the reference's
-    ``only_latest`` materialization is per-window too,
-    compute.py:88-130). ``repartition`` mirrors the reference's
-    ``partitions`` config knob (compute.py:197-200).
-    ``fail_after_partition`` is a test hook for crash-resume testing.
+    Execution strategy — CHUNKED bulk writes: days are grouped into
+    ``chunk_days`` chunks; each pending chunk is ONE job (time-range
+    filter → latest-per-(key, day) window dedup in a single shuffle →
+    ``partitionBy(day)`` dynamic-overwrite write), and each completed
+    day gets a manifest entry. A 3-year backfill is ~35 passes over the
+    (time-pruned) input instead of ~1000, while a crash still resumes
+    at chunk granularity — the passes/blast-radius trade-off is the
+    ``chunk_days`` knob (1 = the reference-style per-day loop).
 
-    NOTE: each day partition is computed and committed separately, so
-    ``features`` is re-evaluated once per day. Pass a TABLE-backed frame
-    (parquet/Iceberg scan); if the frame carries a deep computation DAG
-    (joins, iterative algorithms), stage it to parquet first — measured
-    ~30x on a curation pipeline (examples/training_pipeline.py).
+    ``only_latest`` dedups within each day (snapshot-per-day, matching
+    the reference's per-window materialization, compute.py:88-130);
+    ``repartition`` mirrors the reference's ``partitions`` knob
+    (compute.py:197-200). ``fail_after_partition`` is a crash-injection
+    test hook (fires after committing the chunk containing that day).
+
+    NOTE: each chunk re-evaluates ``features`` — pass a table-backed
+    frame; stage deep computation DAGs to parquet first (measured ~30x
+    on examples/training_pipeline.py).
     """
     manifest = MaterializationManifest(out_path)
     done = manifest.completed()
@@ -169,29 +175,47 @@ def materialize_view(
         df = df.filter(F.col(ts_col) <= F.lit(end))
     df = df.withColumn("__day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
 
-    # one distributed pass to enumerate pending work + row lineage
-    day_counts = {
-        r["__day"]: r["cnt"]
-        for r in df.groupBy("__day").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    # one distributed pass to enumerate the work list
+    all_days = sorted(
+        r["__day"] for r in df.select("__day").distinct().collect()
+    )
     res = MaterializationResult()
-    for day in sorted(day_counts):
+    pending = []
+    for day in all_days:
         if day in done:
             res.skipped.append(day)
-            continue
-        part = df.filter(F.col("__day") == day).drop("__day")
+        else:
+            pending.append(day)
+
+    for i in range(0, len(pending), max(chunk_days, 1)):
+        chunk = pending[i : i + max(chunk_days, 1)]
+        part = df.filter(F.col("__day").isin(chunk))
         if only_latest:
-            part = latest_row_dedup(part, join_keys, ts_col, created_col)
+            part = latest_row_dedup(part, [*join_keys, "__day"], ts_col, created_col)
         if repartition:
             part = part.repartition(repartition, *join_keys)
-        target = os.path.join(out_path, f"day={day}")
-        part.write.mode("overwrite").parquet(target)
-        rows = spark.read.parquet(target).count()
-        manifest.record(day, rows, _dir_bytes(target))
-        res.written.append(day)
-        res.rows += rows
-        if fail_after_partition is not None and day >= fail_after_partition:
-            raise RuntimeError(f"injected failure after partition {day}")
+        (
+            part.withColumnRenamed("__day", "day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(out_path)
+        )
+        written = (
+            spark.read.option("basePath", out_path)
+            .parquet(*[os.path.join(out_path, f"day={d}") for d in chunk])
+        )
+        counts = {
+            str(r["day"]): r["cnt"]
+            for r in written.groupBy("day").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        for day in chunk:
+            cnt = counts.get(day, 0)
+            manifest.record(day, cnt, _dir_bytes(os.path.join(out_path, f"day={day}")))
+            res.written.append(day)
+            res.rows += cnt
+        if fail_after_partition is not None and chunk[-1] >= fail_after_partition:
+            raise RuntimeError(f"injected failure after partition {chunk[-1]}")
     return res
 
 

@@ -49,6 +49,7 @@ def test_materialize_resume(spark, feats, tmp_path):
             out,
             ["doc_id"],
             created_col="created",
+            chunk_days=1,
             fail_after_partition="2024-01-03",
         )
     manifest = MaterializationManifest(out)
