@@ -154,3 +154,35 @@ def pack_sequences(
     return df.select(*scols, tcol, icol, kcol, ncol).groupBy(*scols).applyInPandas(
         pack, out_schema
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    test_frac: float = 0.1,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/test split that never places near-duplicates on opposite
+    sides: documents are split by DEDUP GROUP (connected component of
+    the near-dup pair graph), with the group's hash deciding the side.
+    Splitting by raw doc id leaks test content into train through
+    near-duplicates — the standard contamination failure this prevents.
+
+    Returns docs' ids + ``group_id`` + ``split`` ('train' | 'test').
+    Deterministic (hash-threshold on group id + salt), rerun-stable.
+    """
+    from feast_spark.pipeline.graph import dedup_groups_from_pairs
+
+    groups = dedup_groups_from_pairs(docs, dup_pairs, id_col, src, dst)
+    key = F.concat(F.col("group_id").cast("string"), F.lit(salt))
+    return groups.select(
+        id_col,
+        "group_id",
+        F.when(
+            F.pmod(portable_hash64(key), F.lit(_MOD)) < int(test_frac * _MOD),
+            F.lit("test"),
+        ).otherwise(F.lit("train")).alias("split"),
+    )

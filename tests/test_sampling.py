@@ -62,3 +62,29 @@ def test_pack_sequences_invariants(spark):
     b = blocks2.sort_values(["source", "block_id"]).reset_index(drop=True)
     assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
     assert all(list(x) == list(y) for x, y in zip(a["tokens"], b["tokens"]))
+
+
+def test_leakage_safe_split(spark):
+    docs = spark.range(0, 200).selectExpr("id as doc_id")
+    # near-dup pairs: 50 chains of 2 docs (i, i+100)
+    pairs = spark.range(0, 50).selectExpr("id as id_a", "id + 100 as id_b")
+    got = (
+        __import__("feast_spark.pipeline.sampling", fromlist=["leakage_safe_split"])
+        .leakage_safe_split(docs, pairs, test_frac=0.3)
+        .toPandas()
+    )
+    assert len(got) == 200
+    # no near-dup pair straddles the split
+    m = got.set_index("doc_id")["split"]
+    for i in range(50):
+        assert m[i] == m[i + 100], i
+    # both sides populated, roughly 30% test
+    frac = (got["split"] == "test").mean()
+    assert 0.15 < frac < 0.45
+    # deterministic
+    got2 = (
+        __import__("feast_spark.pipeline.sampling", fromlist=["leakage_safe_split"])
+        .leakage_safe_split(docs, pairs, test_frac=0.3)
+        .toPandas()
+    )
+    assert got.sort_values("doc_id")["split"].tolist() == got2.sort_values("doc_id")["split"].tolist()
