@@ -12,6 +12,13 @@ from feast_spark.pipeline.graph import (
     dedup_groups_from_pairs,
     kmeans,
 )
+from feast_spark.pipeline.sampling import (
+    deterministic_sample,
+    leakage_safe_split,
+    mixture_weights,
+    pack_sequences,
+    stratified_sample,
+)
 from feast_spark.pipeline.similarity import (
     brute_force_topk,
     embedding_dup_pairs,
@@ -32,6 +39,11 @@ __all__ = [
     "connected_components",
     "dedup_groups_from_pairs",
     "kmeans",
+    "deterministic_sample",
+    "leakage_safe_split",
+    "mixture_weights",
+    "pack_sequences",
+    "stratified_sample",
     "detect_language",
     "doc_fingerprint",
     "exact_dup_groups",
