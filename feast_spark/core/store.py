@@ -14,7 +14,9 @@ Differences from the reference, deliberate:
 * ODFV transforms run distributed via ``mapInPandas`` instead of
   driver-side pandas (offline_store.py:155-167);
 * the synthetic string row id (spark.py:683-688) is replaced by an
-  internal ``monotonically_increasing_id``.
+  internal content-derived id (xxhash64 + within-hash row_number) that
+  is deterministic across plan branches — see
+  ``operators.asof_join._with_row_id``.
 """
 
 from __future__ import annotations
@@ -185,9 +187,12 @@ class FeatureStore:
             ).first()
             bounds = (row["lo"], row["hi"])
 
-        acc = _with_row_id(entity_df)
-        if not any(n in self._views for n in refs):
-            out = acc
+        # Stamp the deterministic row id ONCE on the raw entity_df; every
+        # view joins against this narrow `base` (never the accumulated
+        # frame — re-deriving ids on a post-shuffle accumulator silently
+        # mis-joined features under the shuffle-join regime).
+        base = _with_row_id(entity_df)
+        acc = base
         for view_name, wanted in refs.items():
             if view_name in self._odfvs:
                 continue  # applied post-join below
@@ -223,7 +228,7 @@ class FeatureStore:
 
             cols = wanted or view.feature_cols
             res = point_in_time_join(
-                acc,
+                base,
                 fdf,
                 view.join_keys,
                 cols,
@@ -233,11 +238,18 @@ class FeatureStore:
                 ttl_seconds=view.ttl_seconds,
                 strategy=strategy,
             )
-            out_cols = [c for c in res.columns if c not in acc.columns]
+            out_cols = [c for c in res.columns if c not in base.columns]
             sel = res.select(SPINE_ROW_ID, *out_cols)
             if full_feature_names:
                 for c in out_cols:
                     sel = sel.withColumnRenamed(c, f"{view_name}__{c}")
+                out_cols = [f"{view_name}__{c}" for c in out_cols]
+            dup = set(out_cols) & set(acc.columns)
+            if dup:
+                raise ValueError(
+                    f"feature columns {sorted(dup)} from view {view_name!r} collide "
+                    "with columns already retrieved — pass full_feature_names=True"
+                )
             acc = acc.join(sel, on=SPINE_ROW_ID, how="left")
         out = acc.drop(SPINE_ROW_ID)
 

@@ -54,15 +54,54 @@ _ENTITY_TS_TAG = "__feast_entity_ts"
 DUMMY_ENTITY_COL = "__dummy_id"
 
 
+def _hashable_orderable(dt) -> bool:
+    """True when ``xxhash64``/``orderBy`` accept the type (everything but
+    MapType, recursively)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _with_row_id(spine: DataFrame) -> DataFrame:
     """Attach a unique internal row id preserving spine multiplicity.
 
-    ``monotonically_increasing_id`` is partition-stable and never
-    collected driver-side; it exists only for the duration of the query
-    (the reference instead builds a string-concat ``entity_row_unique_id``,
-    spark.py:683-688 — a SQL-templating artifact we do not need).
+    Idempotent: a pre-stamped spine is returned unchanged, so the id is
+    derived ONCE and every downstream plan branch agrees on it.
+
+    The id is CONTENT-DERIVED — ``xxhash64`` of the row plus a
+    ``row_number`` among equal-hash rows ordered by the full row — so
+    re-evaluating the expression in independent plan branches (Spark
+    does not share subplans) yields identical row→id assignments even
+    when the spine's lineage contains nondeterministic shuffles
+    (round-robin ``repartition``, AQE-coalesced reads, task retries).
+    ``monotonically_increasing_id`` is NOT safe here: it numbers rows by
+    partition/position, and two evaluations of a post-shuffle plan can
+    see different row orders — features silently attach to wrong spine
+    rows (the reference avoids this with a content-concat
+    ``entity_row_unique_id``, spark.py:683-688; we keep its content-
+    derivation property without the string-of-every-column blowup).
+    Rows identical in every column get interchangeable ids — harmless,
+    they are indistinguishable. Cost: one hash shuffle + sort of the
+    (narrow) spine per evaluation; callers that reuse the spine across
+    views stamp once up front, which this idempotency makes safe.
     """
-    return spine.withColumn(SPINE_ROW_ID, F.monotonically_increasing_id())
+    if SPINE_ROW_ID in spine.columns:
+        return spine
+    cols = [f.name for f in spine.schema.fields if _hashable_orderable(f.dataType)]
+    if not cols:  # degenerate: no hashable column at all
+        return spine.withColumn(SPINE_ROW_ID, F.monotonically_increasing_id().cast("string"))
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    w = Window.partitionBy(h).orderBy(*[F.col(c) for c in cols])
+    return spine.withColumn(
+        SPINE_ROW_ID,
+        F.concat_ws("-", h.cast("string"), F.row_number().over(w).cast("string")),
+    )
 
 
 def _ttl_lower_bound(ts_col: str, entity_ts: Column, ttl_seconds: int | None) -> Column:
@@ -284,38 +323,41 @@ def _pit_merge_asof(
       ``merge_asof(by=keys)`` does the per-key as-of logic vectorized
       inside each bucket.
     * The pandas stage matches on NARROW rows only — (keys, ts, row id)
-      — and returns (spine_row_id, matched_feature_row_id). Feature
+      — and returns (spine_row_id, matched __feature_ts). Feature
       payloads (token arrays etc.) never cross the JVM↔Arrow↔pandas
-      boundary; they are re-attached JVM-side with an equi-join on the
-      unique feature-row id. For 300-byte token payloads this cuts the
-      Python-side traffic ~10x.
+      boundary; they are re-attached JVM-side by joining the match back
+      on (keys, ts) against a per-(keys, ts) winner table (max created,
+      then tie-breaks — exactly the row the as-of semantics select).
+      For 300-byte token payloads this cuts the Python-side traffic
+      ~10x, and unlike a synthetic feature-row id it is deterministic
+      under nondeterministic shuffle lineage (no
+      ``monotonically_increasing_id`` evaluated in two plan branches).
     * A hot key still lands in one bucket but shares it with ~K/B other
       keys; the per-bucket merge is linear in bucket size.
     """
     from pyspark.sql import types as T
 
     s = _with_row_id(spine)
-    f = features.withColumn("__feast_fid", F.monotonically_increasing_id())
 
     keys = list(join_keys)
     tiebreaks = list(tie_breaker_cols)
-    narrow_f_cols = list(
-        dict.fromkeys(
-            keys + [feature_ts_col] + ([created_col] if created_col else []) + tiebreaks
-        )
-    ) + ["__feast_fid"]
+    # the pandas stage only decides WHICH (keys, ts) wins per spine row;
+    # created/tie-break resolution happens in the JVM-side winner dedup,
+    # so narrow rows are just (keys, ts)
+    narrow_f_cols = list(dict.fromkeys(keys + [feature_ts_col]))
     narrow_s = s.select(*keys, spine_ts_col, SPINE_ROW_ID)
 
+    # __feature_ts keeps the feature column's exact timestamp type
+    # (timestamp vs timestamp_ntz) — it is an equi-join key for the
+    # payload re-attach, so an implicit cast would be a silent mismatch
     out_schema = T.StructType(
         [
-            T.StructField(SPINE_ROW_ID, T.LongType(), False),
-            T.StructField("__feast_fid", T.LongType(), True),
-            T.StructField("__feature_ts", T.TimestampType(), True),
+            T.StructField(SPINE_ROW_ID, T.StringType(), False),
+            T.StructField("__feature_ts", features.schema[feature_ts_col].dataType, True),
         ]
     )
 
     ttl = int(ttl_seconds) if ttl_seconds else 0
-    created = created_col
     f_ts = feature_ts_col
     s_ts = spine_ts_col
 
@@ -323,8 +365,7 @@ def _pit_merge_asof(
         if left.empty:
             return pd.DataFrame(
                 {
-                    SPINE_ROW_ID: pd.array([], dtype="Int64"),
-                    "__feast_fid": pd.array([], dtype="Int64"),
+                    SPINE_ROW_ID: pd.Series([], dtype="object"),
                     "__feature_ts": pd.Series([], dtype="datetime64[us]"),
                 }
             )
@@ -332,20 +373,12 @@ def _pit_merge_asof(
         if right.empty:
             return pd.DataFrame(
                 {
-                    SPINE_ROW_ID: left[SPINE_ROW_ID].astype("Int64"),
-                    "__feast_fid": pd.array([None] * len(left), dtype="Int64"),
+                    SPINE_ROW_ID: left[SPINE_ROW_ID],
                     "__feature_ts": pd.Series([pd.NaT] * len(left), dtype="datetime64[us]"),
                 }
             )
-        # Sort so the LAST row per (key, feature-ts) run is the created-ts
-        # winner: merge_asof(direction backward, by=keys) picks the last
-        # sorted row of the key group with ts <= entity_ts, so ascending
-        # (ts, created, *tiebreaks) encodes (max ts, then max created).
-        sort_cols = [f_ts] + ([created] if created else []) + tiebreaks
-        right = right.sort_values(sort_cols, kind="mergesort")
-        right_sel = right[[*keys, f_ts, "__feast_fid"]].rename(
-            columns={f_ts: "__feature_ts"}
-        )
+        right = right.drop_duplicates([*keys, f_ts]).sort_values(f_ts, kind="mergesort")
+        right_sel = right[[*keys, f_ts]].rename(columns={f_ts: "__feature_ts"})
         merged = pd.merge_asof(
             left[[*keys, s_ts, SPINE_ROW_ID]],
             right_sel,
@@ -358,8 +391,7 @@ def _pit_merge_asof(
         )
         return pd.DataFrame(
             {
-                SPINE_ROW_ID: merged[SPINE_ROW_ID].astype("Int64"),
-                "__feast_fid": merged["__feast_fid"].astype("Int64"),
+                SPINE_ROW_ID: merged[SPINE_ROW_ID],
                 "__feature_ts": merged["__feature_ts"],
             }
         )
@@ -371,7 +403,7 @@ def _pit_merge_asof(
     # exprIds and Spark's cogroup deduplication silently prunes the
     # right-side copies. Fresh names guarantee fresh attributes; the
     # pandas fn strips the prefix.
-    f_r = f.select(*[F.col(c).alias(f"__r_{c}") for c in narrow_f_cols])
+    f_r = features.select(*[F.col(c).alias(f"__r_{c}") for c in narrow_f_cols])
     f_b = f_r.withColumn(
         "__b", F.pmod(F.hash(*[f"__r_{k}" for k in keys]), F.lit(n_buckets))
     )
@@ -387,10 +419,33 @@ def _pit_merge_asof(
         lambda left, right: merge_bucket(left, right), out_schema
     )
 
-    payload = f.select("__feast_fid", *feature_cols)
+    # JVM-side payload re-attach: the as-of winner per (keys, ts) is the
+    # max-created (then tie-break) row — one window dedup, then an
+    # equi-join on (keys, matched ts). Fully deterministic (no synthetic
+    # row id shared across plan branches).
+    order = ([F.col(created_col).desc()] if created_col else []) + [
+        F.col(c).desc() for c in tiebreaks
+    ]
+    if not order:
+        order = [F.lit(1)]
+    wwin = Window.partitionBy(*keys, feature_ts_col).orderBy(*order)
+    winner = (
+        features.select(
+            *dict.fromkeys(
+                keys
+                + [feature_ts_col]
+                + ([created_col] if created_col else [])
+                + tiebreaks
+                + list(feature_cols)
+            )
+        )
+        .withColumn("__feast_rn", F.row_number().over(wwin))
+        .filter(F.col("__feast_rn") == 1)
+        .select(*keys, F.col(feature_ts_col).alias("__feature_ts"), *feature_cols)
+    )
     out = (
         s.join(matched, on=SPINE_ROW_ID, how="left")
-        .join(payload, on="__feast_fid", how="left")
+        .join(winner, on=[*keys, "__feature_ts"], how="left")
     )
     keep = spine.columns + list(feature_cols) + (
         ["__feature_ts"] if include_feature_ts else []

@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     gram_vocab_limit: int = 20_000,
+    dense_budget_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted shingle index.
 
@@ -99,12 +100,16 @@ def ngram_jaccard_pairs(
     quadratic pair blow-up while contributing nothing to precision).
 
     Adaptive dense path: when the distinct-shingle vocabulary is small
-    (≤ ``gram_vocab_limit``) AND the corpus fits a broadcast, the
+    (≤ ``gram_vocab_limit``) AND the docs×vocab incidence matrix fits
+    ``dense_budget_bytes`` (float32 cells — the gate is on BYTES, not
+    vocab alone, so a 100 TB corpus of short/templated docs with a tiny
+    vocabulary can NOT walk into an n_docs-sized driver collect), the
     posting join degenerates (every doc shares shingles with every
     other → |pairs| ≈ n²); a blocked dense gram matmul
     (docs×vocab · vocab×docs, BLAS) computes the same exact
     intersection counts with O(corpus) Arrow traffic instead. Chosen
-    automatically from a cheap distinct count.
+    automatically from one combined distinct count; over budget it
+    falls back to the posting join regardless of vocabulary size.
     """
     # posting index on xxhash64(shingle): joining/shuffling 8-byte longs
     # instead of shingle strings measured ~1.6x faster on the pair-count
@@ -118,8 +123,11 @@ def ngram_jaccard_pairs(
         .select("id", F.xxhash64("__s").alias("shingle"))
         .persist()  # reused by sizes + both sides of the self-join
     )
-    n_vocab = sh.select("shingle").distinct().count()
-    if n_vocab <= gram_vocab_limit:
+    counts = sh.agg(
+        F.countDistinct("shingle").alias("nv"), F.countDistinct("id").alias("nd")
+    ).first()
+    n_vocab, n_docs = counts["nv"], counts["nd"]
+    if n_vocab <= gram_vocab_limit and n_docs * n_vocab * 4 <= dense_budget_bytes:
         return _jaccard_gram(sh, n_vocab, threshold)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if max_doc_freq:

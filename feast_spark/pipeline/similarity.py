@@ -336,6 +336,7 @@ def embedding_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     exact: bool = False,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
 
@@ -346,8 +347,17 @@ def embedding_dup_pairs(
         # broadcast the full corpus matrix; each Arrow batch computes a
         # block x corpus BLAS matmul and emits only threshold-passing
         # pairs — O(n) Arrow traffic instead of the n^2/2 pair table.
-        # Exact mode is for corpora that fit a broadcast (~<1e6 rows);
-        # beyond that use the LSH-blocked default.
+        # Exact mode requires a corpus that fits a broadcast — ENFORCED,
+        # not advisory: a silent driver collect of a 10^9-row corpus is
+        # the failure mode this guard exists to prevent.
+        n = df.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"embedding_dup_pairs(exact=True) on {n} rows exceeds "
+                f"max_exact_rows={max_exact_rows}; use exact=False (LSH-"
+                "blocked, scales linearly) or raise max_exact_rows "
+                "deliberately"
+            )
         rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
         ids = np.array([r["id"] for r in rows])
         mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
