@@ -691,12 +691,13 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
 """
 
 
-# ------------------- approximate ops: rows-only checks --------------------
-
 def q_lsh_dup_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates verified by exact Jaccard
-    (probabilistic recall — no SQL oracle; golden-tested in
-    tests/test_pipeline_text.py)."""
+    """MinHash-LSH near-dup candidates verified by exact Jaccard. The
+    whole pipeline is a deterministic function of the portable md5 hash
+    (signatures bit-exact vs DuckDB, band buckets are injective md5s of
+    signature slices), so the oracle replays it exactly in SQL:
+    signatures → per-band slice equality → candidate pairs → exact
+    shingle-Jaccard verify."""
     from feast_spark.pipeline.dedup_text import lsh_candidate_pairs
 
     out = lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=16, bands=8, shingle_n=2, threshold=0.5)
@@ -707,7 +708,62 @@ def q_lsh_dup_pairs(spark, sf_dir):
     )
 
 
+def _lsh_dup_pairs_oracle():
+    from feast_spark.pipeline.dedup_text import MERSENNE31, _affine_params
+
+    params = _affine_params(16, 1)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {MERSENNE31})) s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    # bands of r=2: docs sharing (s_{2b}, s_{2b+1}) for any band b are
+    # candidates (the engine hashes the slice with md5 — equality of the
+    # md5 bucket == equality of the slice)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{2 * b} AS x, s{2 * b + 1} AS y FROM sigs"
+        for b in range(8)
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+                generate_series(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1])))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END shingles
+  FROM words
+), hs AS (
+  SELECT doc_id, shingles, list_transform(shingles,
+         s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MERSENNE31}) hashes
+  FROM sh WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, {sig_exprs} FROM hs
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.x = b.x AND a.y = b.y AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE),
+             6) AS jaccard
+FROM cand c
+JOIN hs sa ON sa.doc_id = c.id_a
+JOIN hs sb ON sb.doc_id = c.id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles))
+      / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) >= 0.5
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs at Hamming distance ≤ 3 over 32-bit SimHash via
+    pigeonhole segment blocking — EXACT for k < blocks (any pair within
+    distance 3 shares one of 4 segments), so the brute-force all-pairs
+    SQL oracle is a true oracle, not a recall check."""
     from feast_spark.pipeline.dedup_text import simhash_pairs
 
     out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
@@ -716,6 +772,20 @@ def q_simhash_pairs(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+def _simhash_pairs_oracle():
+    body = _simhash_oracle()
+    return f"""
+WITH sims AS ({body})
+SELECT a.doc_id id_a, b.doc_id id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ------------------- approximate ops: rows-only checks --------------------
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -734,7 +804,10 @@ def q_lsh_topk(spark, sf_dir):
 
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: binary blobs (synthesized from doc text) →
-    Arrow-batched decode/resize/pool via the deterministic fake codec."""
+    Arrow-batched decode/resize/pool via the deterministic fake codec.
+    The fake decoder tiles the payload's sha256 digest into the 8x8x3
+    image, so mean intensity == mean of the 32 digest bytes — which
+    DuckDB recomputes exactly (sha256 + hex-byte parse)."""
     from feast_spark.pipeline.multimodal import image_features
 
     d = _docs(spark, sf_dir).select(
@@ -746,6 +819,16 @@ def q_image_features(spark, sf_dir):
         F.col("n_bytes").cast("long").alias("n_bytes"),
         F.round("mean_intensity", 6).alias("mean_intensity"),
     )
+
+
+_IMAGE_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       round(list_sum(list_transform(generate_series(0, 31),
+             i -> CAST(concat('0x', substr(sha256(text), 2*i + 1, 2)) AS INT)))
+             / 32.0, 6) AS mean_intensity
+FROM documents
+"""
 
 
 
@@ -1155,9 +1238,10 @@ SELECT doc_id, lang, source FROM (
 
 
 def q_dedup_groups(spark, sf_dir):
-    """Transitive dedup groups: connected components over the exact
-    n-gram near-dup pairs (iterative min-label propagation — no SQL
-    oracle; component correctness is pytest-verified on known graphs)."""
+    """Transitive dedup groups: connected components (pointer-doubling
+    min-label propagation) over the exact n-gram near-dup pairs. The
+    DuckDB oracle computes the same transitive closure with a recursive
+    CTE over the identical (deterministic) pair set."""
     from feast_spark.pipeline.dedup_text import ngram_jaccard_pairs
     from feast_spark.pipeline.graph import dedup_groups_from_pairs
 
@@ -1171,17 +1255,84 @@ def q_dedup_groups(spark, sf_dir):
     )
 
 
+_DEDUP_GROUPS_ORACLE = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct(list_transform(
+                generate_series(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1])))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END shingles
+  FROM words WHERE len(w) > 0
+), sizes AS (
+  SELECT doc_id, len(shingles) n FROM sh
+), posting AS (
+  SELECT doc_id, unnest(shingles) shingle FROM sh
+), common AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+), sym AS (
+  SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.id
+), comp AS (
+  SELECT id, MIN(r) component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_kmeans_clusters(spark, sf_dir):
-    """Distributed Lloyd k-means assignments over the embedding table
-    (iterative; rows-only check, determinism pytest-verified)."""
-    from feast_spark.pipeline.graph import kmeans
+    """Nearest-centroid assignment (the k-means E-step) with
+    deterministic fixed centroids (the first 8 vectors by id) — rounded
+    distances + smaller-id tie-break make it cross-engine exact, so the
+    DuckDB oracle checks it fully. The iterative Lloyd solver
+    (graph.kmeans) is pytest-verified (purity + determinism) — float
+    accumulation order across engines makes its centroids un-oracle-able
+    bit-for-bit."""
+    from feast_spark.pipeline.graph import assign_clusters
 
     emb = _emb(spark, sf_dir)
-    assign, _ = kmeans(emb, k=8, iters=5)
-    return assign.select(
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    out = assign_clusters(emb, centroids)
+    return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cluster").cast("long").alias("cluster"),
     )
+
+
+_KMEANS_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.cell,
+         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6) AS dist
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) rn
+  FROM d
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM ranked WHERE rn = 1
+"""
 
 
 
@@ -1203,18 +1354,21 @@ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
 
 def q_pack_sequences(spark, sf_dir):
     """LLM sequence packing: greedy fixed-budget training blocks per
-    source stream over hash-tokenized documents (iterative/stateful —
-    rows-only check; invariants pytest-verified)."""
+    source stream over hash-tokenized documents. Tokenization uses the
+    portable md5 hash so a DuckDB recursive-CTE oracle replays the exact
+    greedy state machine and checks block ids, counts, and the md5 of
+    each block's flattened token stream."""
     from feast_spark.pipeline.sampling import pack_sequences
+    from feast_spark.pipeline.text import portable_hash64
 
     d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
     seqs = d.select(
         "doc_id",
         "source",
         F.col("n_chars").cast("timestamp").alias("event_timestamp"),
         F.transform(
-            F.split(F.col("text"), "\\s+"),
-            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+            words, lambda w: F.pmod(portable_hash64(w), F.lit(50257)).cast("int")
         ).alias("tokens"),
     ).withColumn("n_tok", F.size("tokens")).filter(F.col("n_tok") > 0)
     blocks = pack_sequences(seqs, block_tokens=1024, stream_cols=["source"])
@@ -1225,6 +1379,57 @@ def q_pack_sequences(spark, sf_dir):
         "n_tokens",
         F.md5(F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))).alias("tokens_md5"),
     )
+
+
+_PACK_ORACLE = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+), docs AS (
+  SELECT doc_id, source, n_chars,
+         list_transform(words,
+           w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 50257) AS toks,
+         len(words) AS n
+  FROM base WHERE len(words) > 0
+), ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) rn
+  FROM docs
+), state AS (
+  -- greedy packing state machine, replayed exactly:
+  --   overflow-close BEFORE adding, budget-close AFTER adding
+  SELECT source, rn,
+         CAST(0 AS BIGINT) AS doc_bid,
+         CAST(CASE WHEN n >= 1024 THEN 1 ELSE 0 END AS BIGINT) AS bid,
+         CASE WHEN n >= 1024 THEN 0 ELSE n END AS open_n,
+         CASE WHEN n >= 1024 THEN 0 ELSE 1 END AS open_docs
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn,
+         s.bid + (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024 THEN 1 ELSE 0 END) AS doc_bid,
+         s.bid + (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024 THEN 1 ELSE 0 END)
+               + (CASE WHEN (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024
+                             THEN 0 ELSE s.open_n END) + d.n >= 1024 THEN 1 ELSE 0 END) AS bid,
+         CASE WHEN (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024
+                    THEN 0 ELSE s.open_n END) + d.n >= 1024
+              THEN 0
+              ELSE (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024
+                    THEN 0 ELSE s.open_n END) + d.n END AS open_n,
+         CASE WHEN (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024
+                    THEN 0 ELSE s.open_n END) + d.n >= 1024
+              THEN 0
+              ELSE (CASE WHEN s.open_docs > 0 AND s.open_n + d.n > 1024
+                    THEN 0 ELSE s.open_docs END) + 1 END AS open_docs
+  FROM state s JOIN ordered d ON d.source = s.source AND d.rn = s.rn + 1
+)
+SELECT o.source,
+       st.doc_bid AS block_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(o.n) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(o.toks, ','), ',' ORDER BY o.n_chars, o.doc_id)) AS tokens_md5
+FROM state st JOIN ordered o ON o.source = st.source AND o.rn = st.rn
+GROUP BY 1, 2
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1320,6 +1525,15 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_topk": _EMB_TOPK_ORACLE,
         "embedding_dups": _EMB_DUPS_ORACLE,
-        # lsh_dup_pairs / simhash_pairs / lsh_topk / image_features:
-        # approximate or non-SQL ops — rows-only checks by design.
+        "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "image_features": _IMAGE_FEATURES_ORACLE,
+        "dedup_groups": _DEDUP_GROUPS_ORACLE,
+        "kmeans_clusters": _KMEANS_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
+        # lsh_topk: intentionally rows-only — sign-bit LSH buckets hinge
+        # on the SIGN of a float dot product; near-zero dots flip with
+        # engine summation order, so no cross-engine SQL oracle can be
+        # exact. Recall@k vs brute force is golden-tested in
+        # tests/test_pipeline_similarity.py.
     }

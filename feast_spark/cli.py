@@ -61,6 +61,24 @@ def cmd_materialize(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_materialize_incremental(args: argparse.Namespace) -> int:
+    """Registry-driven incremental materialization: the view definition
+    comes from the persistent registry and the window starts at the last
+    recorded end (reference feature_store.py:1555)."""
+    from datetime import datetime
+
+    from feast_spark.core.store import FeatureStore
+    from feast_spark.materialize.jobs import MaterializationManifest
+
+    spark = get_or_create_session("feast_spark_materialize_incremental")
+    store = FeatureStore(spark, registry_path=args.registry)
+    end = datetime.fromisoformat(args.end) if args.end else datetime.utcnow()
+    res = store.materialize_incremental(args.view, args.out, end)
+    metrics = MaterializationManifest(args.out).metrics()
+    print(json.dumps({"written": res.written, "skipped": res.skipped, **metrics}))
+    return 0
+
+
 def cmd_get_historical_features(args: argparse.Namespace) -> int:
     from feast_spark.operators.asof_join import point_in_time_join
 
@@ -100,6 +118,16 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--no-latest", action="store_true")
     m.add_argument("--repartition", type=int, default=None)
     m.set_defaults(fn=cmd_materialize)
+
+    mi = sub.add_parser(
+        "materialize-incremental",
+        help="materialize the window since the registry's last recorded end",
+    )
+    mi.add_argument("--registry", required=True, help="registry JSON path")
+    mi.add_argument("--view", required=True, help="registered view name")
+    mi.add_argument("--out", required=True)
+    mi.add_argument("--end", default=None, help="ISO timestamp (default: now)")
+    mi.set_defaults(fn=cmd_materialize_incremental)
 
     g = sub.add_parser("get-historical-features", help="PIT retrieval to parquet")
     g.add_argument("--spine", required=True)

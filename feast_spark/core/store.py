@@ -85,11 +85,22 @@ class RetrievalJob:
 
 
 class FeatureStore:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, registry_path: str | None = None):
+        """``registry_path`` makes the store durable: ``apply()`` persists
+        view/service metadata and ``materialize*`` records completed
+        intervals in a file-backed registry (reference
+        registry/registry.py), so a NEW session can restore
+        path/table-backed views and continue an incremental
+        materialization where the last session stopped."""
         self.spark = spark
         self._views: dict[str, FeatureView] = {}
         self._odfvs: dict[str, OnDemandFeatureView] = {}
         self._services: dict[str, FeatureService] = {}
+        self.registry = None
+        if registry_path is not None:
+            from feast_spark.core.registry import FileRegistry
+
+            self.registry = FileRegistry(registry_path)
 
     # ------------------------------------------------------------- registry
     def apply(self, objects: Iterable) -> None:
@@ -98,13 +109,25 @@ class FeatureStore:
                 self._odfvs[obj.name] = obj
             elif isinstance(obj, FeatureService):
                 self._services[obj.name] = obj
+                if self.registry is not None:
+                    self.registry.apply_service(obj)
             elif isinstance(obj, FeatureView):
                 self._views[obj.name] = obj
+                if self.registry is not None:
+                    self.registry.apply_view(obj)
             else:
                 raise TypeError(f"cannot register {type(obj).__name__}")
 
     def get_feature_view(self, name: str) -> FeatureView:
-        return self._views[name]
+        """In-session view, else restore a declarative (path/table/query
+        backed, udf-free) view from the persistent registry."""
+        if name in self._views:
+            return self._views[name]
+        if self.registry is not None and name in self.registry.list_views():
+            view = self.registry.load_view(name)
+            self._views[name] = view
+            return view
+        return self._views[name]  # raises KeyError with the view name
 
     # ------------------------------------------------------- view resolution
     def _build_view_df(self, view: FeatureView) -> DataFrame:
@@ -196,7 +219,7 @@ class FeatureStore:
         for view_name, wanted in refs.items():
             if view_name in self._odfvs:
                 continue  # applied post-join below
-            view = self._views[view_name]
+            view = self.get_feature_view(view_name)
             fdf = self._build_view_df(view)
             ts_col = view.timestamp_field
             created = view.created_timestamp_column
@@ -324,7 +347,7 @@ class FeatureStore:
         plus the resume capability the reference lacks)."""
         from feast_spark.materialize.jobs import materialize_view
 
-        view = self._views[view_name]
+        view = self.get_feature_view(view_name)
         fdf = self._build_view_df(view)
         # SortedFeatureView: skip dedup/agg, write range-partitioned +
         # sort-key-ordered files (reference sorted_feature_view.py:29-67,
@@ -345,13 +368,60 @@ class FeatureStore:
                 list(view.sort_keys) or [(view.timestamp_field, "ASC")],
             )
             return None
-        return materialize_view(
+        res = materialize_view(
             self.spark,
             fdf,
             out_path,
             view.join_keys,
             ts_col=view.timestamp_field,
             created_col=view.created_timestamp_column,
+            start=start,
+            end=end,
+            only_latest=only_latest,
+            repartition=repartition,
+        )
+        if self.registry is not None and end is not None:
+            self.registry.apply_materialization(view_name, start, end)
+        return res
+
+    def materialize_incremental(
+        self,
+        view_name: str,
+        out_path: str,
+        end,
+        *,
+        only_latest: bool = True,
+        repartition: int | None = None,
+    ):
+        """Materialize only the window SINCE the last recorded
+        materialization (reference feature_store.py:1555
+        ``materialize_incremental``: start = last end, else now - ttl).
+
+        Start resolution order: (1) the registry's latest interval end
+        for the view, (2) the output manifest's day high-watermark (so
+        resumability survives even a lost registry), (3) ``end - ttl``
+        when the view has a TTL, (4) unbounded. Re-covering the boundary
+        is safe — day partitions are dynamically overwritten and the
+        manifest skips completed days."""
+        view = self.get_feature_view(view_name)
+        start = None
+        if self.registry is not None:
+            start = self.registry.latest_materialization_end(view_name)
+        if start is None:
+            from feast_spark.materialize.jobs import MaterializationManifest
+
+            hw = MaterializationManifest(out_path).high_watermark()
+            if hw is not None:
+                from datetime import datetime
+
+                start = datetime.strptime(hw, "%Y-%m-%d")
+        if start is None and view.ttl_seconds:
+            from datetime import timedelta as _td
+
+            start = end - _td(seconds=view.ttl_seconds)
+        return self.materialize(
+            view_name,
+            out_path,
             start=start,
             end=end,
             only_latest=only_latest,

@@ -1,13 +1,17 @@
 """Iterative distributed algorithms for the curation pipeline.
 
-* ``connected_components`` — large-star/small-star style min-label
-  propagation over an edge list. The dedup families emit near-duplicate
-  PAIRS; deduplication needs GROUPS — the transitive closure. Each
-  iteration is two hash joins + a min-aggregate; converges in
-  O(log(diameter)) rounds for near-dup graphs (which are overwhelmingly
-  tiny cliques, so 3-5 rounds in practice). Checkpoint-friendly: the
-  label frame is persisted per round and convergence is detected with a
-  count of changed labels.
+* ``connected_components`` — min-label propagation WITH pointer
+  doubling (label := label(label) each round, the shortcutting step of
+  the classic hybrid CC algorithms) over an edge list. The dedup
+  families emit near-duplicate PAIRS; deduplication needs GROUPS — the
+  transitive closure. Each iteration is three hash joins + a
+  min-aggregate; the doubling step halves remaining chain lengths, so
+  convergence is O(log(diameter)) — 20 iterations cover diameters up to
+  ~2^20, and near-dup graphs are overwhelmingly tiny cliques (3-5
+  rounds in practice). If the loop ever exhausts ``max_iters`` with
+  labels still changing it RAISES (never silently returns unconverged
+  labels — a split component would let leakage_safe_split put
+  near-duplicates on both sides of a train/test split).
 * ``kmeans`` — Lloyd iterations over an embedding column: broadcast the
   centroid matrix, assign each row via one BLAS matmul per Arrow batch
   (mapInPandas), recompute means with a map-side-combinable aggregate.
@@ -30,12 +34,18 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    raise_on_nonconverged: bool = True,
 ) -> DataFrame:
     """Label every vertex with the minimum vertex id of its component.
 
-    Returns (id, component). Plan per round: propagate each vertex's
-    current label across edges (join), take the min of neighbor labels
-    vs own (aggregate), stop when no label changed.
+    Returns (id, component). Plan per round: (1) propagate each vertex's
+    current label across edges (join + min-aggregate), (2) pointer-
+    double: ``component := component(component)`` (one self-join) — the
+    shortcutting step that makes long chains collapse in O(log diameter)
+    rounds instead of O(diameter). Stops when no label changed; raises
+    RuntimeError if ``max_iters`` is exhausted while labels are still
+    changing (pass ``raise_on_nonconverged=False`` to get the partial
+    labels plus a warning instead — never silent).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -46,6 +56,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iters):
         # neighbor labels: for each vertex u, min over v-neighbors' labels
         neighbor_min = (
@@ -54,15 +65,27 @@ def connected_components(
             .agg(F.min("component").alias("nmin"))
             .withColumnRenamed("u", "id")
         )
+        propagated = labels.join(neighbor_min, on="id", how="left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("nmin", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer doubling: follow the label one more hop. Labels are
+        # vertex ids, so looking the label up in the label table jumps
+        # component -> component(component), halving chain lengths.
+        hop = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("__c2")
+        )
+        # localCheckpoint (not persist): `propagated` references `labels`
+        # twice, so without truncation the logical plan DOUBLES per round
+        # — by round ~10 plan-tree handling alone OOMs the driver. The
+        # checkpoint materializes the (small: one row per vertex) label
+        # table and resets the lineage to constant size per round.
         new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("nmin", "component")).alias(
-                    "component"
-                ),
-            )
-            .persist()
+            propagated.join(hop, on="component", how="left")
+            .select("id", F.coalesce("__c2", "component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(
@@ -76,6 +99,17 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — components may be split; "
+            "raise max_iters"
+        )
+        if raise_on_nonconverged:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -97,6 +131,54 @@ def dedup_groups_from_pairs(
         "component"
     )
     return out.withColumn("keep", F.col(id_col) == F.col("group_id"))
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment given FIXED centroids (the k-means
+    E-step as a standalone, cross-engine-deterministic operator).
+
+    Squared distances are rounded to ``round_digits`` before the argmin
+    and ties break on the smaller cluster id, so any engine computing
+    the same rounded distances (e.g. a DuckDB SQL oracle) produces
+    identical assignments regardless of float summation order. One
+    broadcast + one corpus scan with a per-Arrow-batch BLAS matmul — no
+    shuffle.
+    """
+    from pyspark.sql import types as T
+
+    c = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+    rd = round_digits
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            # exact squared distance per pair (no expansion identity —
+            # (m.m - 2m.c + c.c) loses ~1e-12 and can flip the rounding)
+            d = ((m[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            d = np.round(d, rd)
+            # argmin with smaller-cluster-id tie-break (np.argmin takes
+            # the first minimum, which IS the smallest index)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": d.argmin(axis=1).astype(np.int32)}
+            )
+
+    return df.select(id_col, F.col(vec_col).alias("v")).mapInPandas(assign, out_schema)
 
 
 def kmeans(

@@ -185,15 +185,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of ``vec`` against each hyperplane, packed to
-    a long (bucket id)."""
-    bits = []
-    for i, plane in enumerate(planes):
-        dot = _dot(vec, F.array(*[F.lit(v) for v in plane]))
-        bits.append(F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out + b
-    return out
+    a long (bucket id).
+
+    One Arrow-batched numpy matmul against the (tiny, closure-captured)
+    plane matrix computes ALL plane dots per batch — the previous
+    per-plane ``aggregate`` expression was CodegenFallback (interpreted
+    per element × per plane), which dominated corpus-side index build at
+    scale (VERDICT r01)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # n_planes x dim
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    def sig_fn(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ P.T) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    sig_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf("long")(sig_fn)(vec)
 
 
 def lsh_topk(
@@ -216,7 +228,9 @@ def lsh_topk(
     signature (1 + n_planes buckets at distance 1) trades probe cost for
     recall without touching the corpus index."""
     planes = _hyperplanes(dim, n_planes, seed)
-    base_sig = lsh_signature(F.col(vec_col), planes)
+    # materialize the signature once per query row, THEN derive the
+    # multiprobe variants with cheap XORs — never re-invoke the UDF
+    base_sig = F.col("__sig")
     probe_sigs = [base_sig]
     if multiprobe >= 1:
         probe_sigs += [base_sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
@@ -230,6 +244,11 @@ def lsh_topk(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
+        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+    ).select(
+        "query_id",
+        "__qv",
+        "__qn",
         F.explode(F.array_distinct(F.array(*probe_sigs))).alias("__bucket"),
     )
     c = corpus.select(

@@ -64,3 +64,55 @@ def test_kmeans_recovers_clusters(spark):
     # determinism
     _, cents2 = kmeans(emb, k=5, iters=10)
     assert np.allclose(np.array(cents), np.array(cents2))
+
+
+def test_connected_components_long_path_pointer_doubling(spark):
+    """A 60-node path has diameter 59 — plain 1-hop propagation needs ~59
+    rounds; pointer doubling must converge within 10."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    comps = connected_components(edges, max_iters=10).toPandas()
+    assert (comps["component"] == 0).all()
+    assert len(comps) == 60
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
+
+
+def test_connected_components_warn_mode(spark):
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iters=1, raise_on_nonconverged=False)
+        assert out.count() == 60
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_assign_clusters_matches_brute_force(spark):
+    import numpy as np
+
+    from feast_spark.pipeline.graph import assign_clusters
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(50, 8)
+    cents = rng.randn(4, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    got = assign_clusters(df, [list(map(float, c)) for c in cents]).toPandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    d = np.round(((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(2), 6)
+    assert got["cluster"].tolist() == d.argmin(1).astype(int).tolist()
