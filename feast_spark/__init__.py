@@ -23,13 +23,23 @@ from feast_spark.core.feature_view import (
     SortedFeatureView,
     StreamFeatureView,
 )
+from feast_spark.core.registry import FileRegistry
+from feast_spark.core.saved_dataset import SavedDataset, load_saved_dataset, save_dataset
 from feast_spark.core.source import ParquetSource, QuerySource, SparkSource, TableSource
 from feast_spark.core.store import FeatureStore
+from feast_spark.materialize.feature_logging import FeatureLogger
+from feast_spark.online import LocalOnlineStore
 from feast_spark.operators.asof_join import point_in_time_join
 from feast_spark.operators.dedup import latest_row_dedup
 from feast_spark.session import get_spark
 
 __all__ = [
+    "FeatureLogger",
+    "FileRegistry",
+    "LocalOnlineStore",
+    "SavedDataset",
+    "load_saved_dataset",
+    "save_dataset",
     "Aggregation",
     "Entity",
     "FeatureService",

@@ -134,14 +134,27 @@ class StreamFeatureView(FeatureView):
 @dataclass
 class OnDemandFeatureView:
     """Row-level post-retrieval transformation (reference
-    on_demand_feature_view.py:46-212, pandas mode). ``udf`` takes and
-    returns a pandas DataFrame; executed distributed via mapInPandas —
-    not driver-side like the reference (offline_store.py:155-167)."""
+    on_demand_feature_view.py:46-212; transformation modes
+    transformation/mode.py:1-10). Executed distributed — not
+    driver-side like the reference (offline_store.py:155-167).
+
+    ``mode``:
+    * ``"pandas"`` — ``udf(pd.DataFrame) -> pd.DataFrame`` of the new
+      columns (reference pandas_transformation.py:19-99), via
+      mapInPandas;
+    * ``"python"`` — ``udf(dict[str, list]) -> dict[str, list]``
+      (reference python_transformation.py:18-91's dict contract),
+      executed over the same Arrow batches;
+    * ``"sql"`` — ``udf`` is an ANSI-SQL string with an ``{input}``
+      placeholder for the retrieved frame's temp view; it must SELECT
+      the new columns alongside ``{input}.*`` (reference
+      spark_transformation.py:104-119 SQL mode)."""
 
     name: str
-    udf: Callable[[pd.DataFrame], pd.DataFrame]
+    udf: Callable[[pd.DataFrame], pd.DataFrame] | str
     schema: Sequence[Field] = ()  # output columns this ODFV adds
     request_schema: Sequence[Field] = ()  # required entity_df columns
+    mode: str = "pandas"
 
     @property
     def output_fields(self) -> list[Field]:

@@ -111,8 +111,10 @@ def view_to_dict(view: FeatureView) -> dict:
         "filter_expr": view.filter_expr,
         "sort_keys": [list(k) for k in getattr(view, "sort_keys", ())],
         "source": _source_to_dict(view.source),
-        # python-object state that cannot serialize declaratively
-        "has_udf": view.udf is not None,
+        # python-object state that cannot serialize declaratively;
+        # SQL-string udfs ARE declarative and round-trip
+        "has_udf": view.udf is not None and not isinstance(view.udf, str),
+        "udf_sql": view.udf if isinstance(view.udf, str) else None,
         "source_views": [
             (v if isinstance(v, str) else v.name) for v in view.source_views
         ],
@@ -146,6 +148,7 @@ def view_from_dict(d: dict) -> FeatureView:
             for a in d.get("aggregations", [])
         ],
         filter_expr=d.get("filter_expr"),
+        udf=d.get("udf_sql"),
     )
     if d.get("type") == "SortedFeatureView":
         return SortedFeatureView(
@@ -167,6 +170,7 @@ class FileRegistry:
         self._doc.setdefault("views", {})
         self._doc.setdefault("services", {})
         self._doc.setdefault("intervals", {})
+        self._doc.setdefault("saved_datasets", {})
 
     # ------------------------------------------------------------ persistence
     def _flush(self) -> None:
@@ -209,6 +213,17 @@ class FileRegistry:
         self._doc["views"].pop(name, None)
         self._doc["intervals"].pop(name, None)
         self._flush()
+
+    # ---------------------------------------------------------- saved datasets
+    def apply_saved_dataset(self, name: str, path: str) -> None:
+        self._doc["saved_datasets"][name] = path
+        self._flush()
+
+    def saved_dataset_path(self, name: str) -> str:
+        return self._doc["saved_datasets"][name]
+
+    def list_saved_datasets(self) -> list[str]:
+        return sorted(self._doc["saved_datasets"])
 
     # -------------------------------------------------- materialization state
     def apply_materialization(self, view_name: str, start, end) -> None:

@@ -134,11 +134,26 @@ class FeatureStore:
         """Resolve a view to a DataFrame: derived-view DAG (reference
         feature_resolver.py:28-95) then udf → filter → (aggregation spec
         is applied later, against the spine window)."""
+        def _transform(udf, *frames: DataFrame) -> DataFrame:
+            """Dispatch the view transformation: callable (Spark-DataFrame
+            mode, spark_transformation.py:95-122) or SQL string with
+            ``{input}`` / ``{input0}``, ``{input1}``… placeholders
+            (SQL-string mode, spark_transformation.py:104-119)."""
+            if isinstance(udf, str):
+                views = {}
+                for i, fr in enumerate(frames):
+                    name = f"__view_input_{view.name}_{i}"
+                    fr.createOrReplaceTempView(name)
+                    views[f"input{i}"] = name
+                views["input"] = views["input0"]
+                return self.spark.sql(udf.format(**views))
+            return udf(*frames)
+
         if view.source_views:
             parents = [self._build_view_df(self._views[p.name] if isinstance(p, str) else p)
                        for p in view.source_views]
             if view.udf is not None:
-                df = view.udf(*parents)
+                df = _transform(view.udf, *parents)
             else:
                 # default: sequential equi-join of parents on shared keys
                 df = parents[0]
@@ -148,7 +163,7 @@ class FeatureStore:
         else:
             df = view.source.load(self.spark)
             if view.udf is not None:
-                df = view.udf(df)
+                df = _transform(view.udf, df)
         if view.filter_expr:
             df = df.filter(view.filter_expr)
         return df
@@ -428,6 +443,31 @@ class FeatureStore:
             repartition=repartition,
         )
 
+    # --------------------------------------------------------- saved datasets
+    def create_saved_dataset(
+        self,
+        job: RetrievalJob,
+        name: str,
+        path: str,
+        features: Sequence[str] | None = None,
+    ):
+        """Persist a retrieval result with durable metadata (reference
+        feature_store.py:1348; saved_dataset.py:77) and register its
+        name → storage handle when a registry is configured."""
+        from feast_spark.core.saved_dataset import save_dataset
+
+        ds = save_dataset(job.to_spark_df(), name, path, list(features or []))
+        if self.registry is not None:
+            self.registry.apply_saved_dataset(name, path)
+        return ds
+
+    def get_saved_dataset(self, name: str):
+        from feast_spark.core.saved_dataset import load_saved_dataset
+
+        if self.registry is None:
+            raise ValueError("get_saved_dataset by name needs a registry_path")
+        return load_saved_dataset(self.registry.saved_dataset_path(name))
+
     # ----------------------------------------------------------- entity-map
     def with_join_key_map(self, view: FeatureView, key_map: dict[str, str], name: str) -> FeatureView:
         """Role-playing dimension: same view joined under renamed keys
@@ -509,30 +549,53 @@ def _apply_odfv(
     wanted: list[str] | None,
     full_feature_names: bool,
 ) -> DataFrame:
-    """Append ODFV output columns via mapInPandas (Arrow-batched)."""
+    """Append ODFV output columns (mode-dispatched; see
+    OnDemandFeatureView)."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     out_fields = [f for f in odfv.output_fields if wanted is None or f.name in wanted]
+    names = [f.name for f in out_fields]
+    prefix = f"{odfv.name}__" if full_feature_names else ""
+    mode = getattr(odfv, "mode", "pandas")
+
+    if mode == "sql":
+        if not isinstance(odfv.udf, str):
+            raise TypeError("sql-mode ODFV needs a SQL string udf")
+        view_name = f"__odfv_input_{odfv.name}"
+        df.createOrReplaceTempView(view_name)
+        out = df.sparkSession.sql(odfv.udf.format(input=view_name))
+        if prefix:
+            for n in names:
+                out = out.withColumnRenamed(n, prefix + n)
+        return out
+
     new_struct = StructType(
         list(df.schema.fields)
         + [
-            StructField(
-                f"{odfv.name}__{f.name}" if full_feature_names else f.name,
-                _parse_datatype_string(f.dtype),
-                True,
-            )
+            StructField(prefix + f.name, _parse_datatype_string(f.dtype), True)
             for f in out_fields
         ]
     )
     udf = odfv.udf
-    names = [f.name for f in out_fields]
-    prefix = f"{odfv.name}__" if full_feature_names else ""
 
-    def apply(batches):
-        for pdf in batches:
-            extra = udf(pdf)
-            for n in names:
-                pdf[prefix + n] = extra[n]
-            yield pdf
+    if mode == "python":
+        # dict-of-lists row contract (reference python_transformation.py)
+        def apply(batches):
+            for pdf in batches:
+                extra = udf({c: pdf[c].tolist() for c in pdf.columns})
+                for n in names:
+                    pdf[prefix + n] = extra[n]
+                yield pdf
+
+    elif mode == "pandas":
+        def apply(batches):
+            for pdf in batches:
+                extra = udf(pdf)
+                for n in names:
+                    pdf[prefix + n] = extra[n]
+                yield pdf
+
+    else:
+        raise ValueError(f"unknown ODFV mode {mode!r}")
 
     return df.mapInPandas(apply, new_struct)

@@ -97,12 +97,14 @@ def materialize_sorted(
     file_format: str = "parquet",
 ) -> None:
     """SortedFeatureView materialization: no dedup/agg; rows land
-    range-partitioned by the entity keys and sorted within partitions by
-    the sort keys, so range scans stream in order (Iceberg-style
-    ordered data files)."""
+    RANGE-partitioned by the entity keys (``repartitionByRange``, not a
+    hash partition — files then cover disjoint key ranges so an ordered
+    range scan prunes to the overlapping files and streams in key order)
+    and sorted within partitions by the sort keys (Iceberg-style ordered
+    data files)."""
     cols = [
         F.col(c).desc() if (d or "ASC").upper() == "DESC" else F.col(c).asc()
         for c, d in sort_keys
     ]
-    out = df.repartition(*partition_keys).sortWithinPartitions(*cols)
+    out = df.repartitionByRange(*partition_keys).sortWithinPartitions(*cols)
     out.write.format(file_format).mode("overwrite").save(path)

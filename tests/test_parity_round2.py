@@ -1,0 +1,230 @@
+"""Round-2 parity additions: ODFV python/SQL modes, view-level SQL
+transformations, online TTL expiry, online push merge, online vector
+retrieval (VERDICT r01 next-round items #7 and #9).
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from feast_spark import datagen
+from feast_spark.core.feature_view import (
+    Entity,
+    FeatureView,
+    Field,
+    OnDemandFeatureView,
+)
+from feast_spark.core.source import DataFrameSource
+from feast_spark.core.store import FeatureStore
+from feast_spark.online import LocalOnlineStore
+
+
+@pytest.fixture(scope="module")
+def store_with_view(spark):
+    ts0 = pd.Timestamp("2024-01-01")
+    feats = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(20)],
+            "event_timestamp": [ts0 + pd.Timedelta(hours=i) for i in range(20)],
+            "val": [float(i) for i in range(20)],
+        }
+    )
+    spine = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(20)],
+            "event_timestamp": [ts0 + pd.Timedelta(days=2)] * 20,
+        }
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="vals",
+                source=DataFrameSource(df=datagen.to_spark(spark, feats)),
+                entities=[Entity("doc_id")],
+            )
+        ]
+    )
+    return store, datagen.to_spark(spark, spine)
+
+
+def test_odfv_python_mode(spark, store_with_view):
+    store, spine = store_with_view
+    store.apply(
+        [
+            OnDemandFeatureView(
+                name="py_adj",
+                mode="python",
+                udf=lambda d: {"adj": [v * 3.0 + 1.0 for v in d["val"]]},
+                schema=[Field("adj", "double")],
+            )
+        ]
+    )
+    got = store.get_historical_features(spine, ["vals:val", "py_adj"]).to_df()
+    assert (got["adj"] == got["val"] * 3.0 + 1.0).all()
+
+
+def test_odfv_sql_mode(spark, store_with_view):
+    store, spine = store_with_view
+    store.apply(
+        [
+            OnDemandFeatureView(
+                name="sql_adj",
+                mode="sql",
+                udf="SELECT *, val * 10.0 AS adj10 FROM {input}",
+                schema=[Field("adj10", "double")],
+            )
+        ]
+    )
+    got = store.get_historical_features(spine, ["vals:val", "sql_adj"]).to_df()
+    assert (got["adj10"] == got["val"] * 10.0).all()
+
+
+def test_view_level_sql_udf(spark):
+    ts0 = pd.Timestamp("2024-01-01")
+    feats = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "event_timestamp": [ts0, ts0],
+            "val": [1.0, 2.0],
+        }
+    )
+    spine = pd.DataFrame(
+        {"doc_id": ["a", "b"], "event_timestamp": [ts0 + pd.Timedelta(days=1)] * 2}
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="doubled",
+                source=DataFrameSource(df=datagen.to_spark(spark, feats)),
+                entities=[Entity("doc_id")],
+                udf="SELECT doc_id, event_timestamp, val * 2 AS val2 FROM {input}",
+            )
+        ]
+    )
+    got = store.get_historical_features(
+        datagen.to_spark(spark, spine), ["doubled:val2"]
+    ).to_df()
+    assert sorted(got["val2"]) == [2.0, 4.0]
+
+
+def test_online_ttl_expiry(spark, tmp_path):
+    now = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["fresh", "stale"],
+            "event_timestamp": [
+                pd.Timestamp(now) - pd.Timedelta(hours=1),
+                pd.Timestamp(now) - pd.Timedelta(days=10),
+            ],
+            "val": [1.0, 2.0],
+        }
+    )
+    store = LocalOnlineStore(str(tmp_path / "online"))
+    store.push_online(datagen.to_spark(spark, rows), ["doc_id"])
+    req = datagen.to_spark(spark, pd.DataFrame({"doc_id": ["fresh", "stale"]}))
+    got = (
+        store.get_online_features(
+            spark, req, ["doc_id"], ["val"], ttl_seconds=86400, now=now
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc["fresh", "val"] == 1.0
+    assert pd.isna(got.loc["stale", "val"])  # expired -> NULL, still a row
+    # without ttl the stale row is served
+    got2 = (
+        store.get_online_features(spark, req, ["doc_id"], ["val"])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got2.loc["stale", "val"] == 2.0
+
+
+def test_online_push_merges_latest(spark, tmp_path):
+    ts0 = pd.Timestamp("2024-01-01")
+    base = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "event_timestamp": [ts0, ts0],
+            "val": [1.0, 2.0],
+        }
+    )
+    store = LocalOnlineStore(str(tmp_path / "online2"))
+    store.push_online(datagen.to_spark(spark, base), ["doc_id"])
+    newer = pd.DataFrame(
+        {
+            "doc_id": ["b", "c"],
+            "event_timestamp": [ts0 + pd.Timedelta(days=1)] * 2,
+            "val": [20.0, 30.0],
+        }
+    )
+    store.push(datagen.to_spark(spark, newer), ["doc_id"])
+    req = datagen.to_spark(spark, pd.DataFrame({"doc_id": ["a", "b", "c"]}))
+    got = (
+        store.get_online_features(spark, req, ["doc_id"], ["val"])
+        .toPandas()
+        .set_index("doc_id")["val"]
+    )
+    assert got["a"] == 1.0 and got["b"] == 20.0 and got["c"] == 30.0
+
+
+def test_retrieve_online_documents(spark, tmp_path):
+    ts0 = pd.Timestamp("2024-01-01")
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "cats"),
+            (2, [0.9, 0.1], "kittens"),
+            (3, [0.0, 1.0], "finance"),
+        ],
+        "doc_id long, embedding array<double>, title string",
+    ).withColumn("event_timestamp", F.lit(ts0))
+    store = LocalOnlineStore(str(tmp_path / "docs"))
+    store.push_online(docs, ["doc_id"])
+    hits = store.retrieve_online_documents(spark, [1.0, 0.0], top_k=2).toPandas()
+    assert hits["neighbor_id"].tolist() == [1, 2]
+    assert hits["title"].tolist() == ["cats", "kittens"]
+
+
+def test_saved_dataset_roundtrip_with_metadata(spark, tmp_path, store_with_view):
+    store0, spine = store_with_view
+    store = FeatureStore(spark, registry_path=str(tmp_path / "reg.json"))
+    store._views = store0._views  # reuse registered view
+    job = store.get_historical_features(spine, ["vals:val"])
+    ds = store.create_saved_dataset(job, "train_v1", str(tmp_path / "ds"), ["vals:val"])
+    assert ds.metadata.row_count == 20
+    assert ds.metadata.features == ["vals:val"]
+    assert ds.metadata.min_event_timestamp is not None
+
+    # fresh store on the same registry retrieves it by name
+    store2 = FeatureStore(spark, registry_path=str(tmp_path / "reg.json"))
+    back = store2.get_saved_dataset("train_v1")
+    assert back.metadata.row_count == 20
+    assert back.to_spark_df(spark).count() == 20
+
+
+def test_feature_logger_contract(spark, tmp_path):
+    from feast_spark.materialize.feature_logging import FeatureLogger
+
+    logger = FeatureLogger(str(tmp_path / "log"), service_name="svc")
+    batch1 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "doc_id string, val double"
+    )
+    assert logger.log(batch1, log_timestamp="2024-01-01 10:00:00") == 2
+    # aligned append works (int -> double cast)
+    batch2 = spark.createDataFrame([("c", 3)], "doc_id string, val int")
+    assert logger.log(batch2, log_timestamp="2024-01-02 10:00:00") == 1
+    # schema drift is an error
+    bad = spark.createDataFrame([("d", 1.0, "x")], "doc_id string, val double, extra string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        logger.log(bad)
+    full = logger.read(spark)
+    assert full.count() == 3
+    one_day = logger.read(spark, "2024-01-01")
+    assert one_day.count() == 2
