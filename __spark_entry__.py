@@ -1432,6 +1432,137 @@ GROUP BY 1, 2
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum hash-threshold sampling with mixture
+    fractions per language (0.0 excludes a stratum entirely)."""
+    from feast_spark.pipeline.sampling import stratified_sample
+
+    fractions = {"en": 0.5, "de": 0.8, "fr": 0.2, "es": 1.0, "zh": 0.0}
+    out = stratified_sample(_docs(spark, sf_dir), "lang", fractions)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "source")
+
+
+def _stratified_oracle():
+    fractions = {"en": 0.5, "de": 0.8, "fr": 0.2, "es": 1.0, "zh": 0.0}
+    h = ("CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', lang)), 1, 15)) "
+         "AS BIGINT) % 1000000")
+    conds = " OR ".join(
+        f"(lang = '{s}' AND {h} < {int(f * 1_000_000)})" for s, f in fractions.items()
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {conds}"
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Train/test split BY DEDUP GROUP: connected components of the
+    n-gram near-dup graph decide the unit of splitting, so near-
+    duplicates can never straddle the split (contamination guard).
+    Fully deterministic → full SQL oracle (recursive-CTE components +
+    portable hash threshold)."""
+    from feast_spark.pipeline.dedup_text import ngram_jaccard_pairs
+    from feast_spark.pipeline.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5)
+    out = leakage_safe_split(docs, pairs, test_frac=0.2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "split",
+    )
+
+
+_LEAKAGE_SPLIT_ORACLE = _DEDUP_GROUPS_ORACLE.replace(
+    """SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
+    """SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS group_id,
+       CASE WHEN CAST(concat('0x', substr(md5(concat(
+                 CAST(coalesce(c.component, d.doc_id) AS VARCHAR), 'split')), 1, 15))
+                 AS BIGINT) % 1000000 < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
+)
+
+
+def q_pull_all_range(spark, sf_dir):
+    """pull_all_from_table_or_query parity: raw timestamp-range scan
+    (reference spark.py:310-364) — the materialization-window read with
+    bounds pushed into the parquet scan."""
+    ev = _events(spark, sf_dir)
+    lo, hi = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    out = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    return out.select(
+        "event_id", "user_id", "event_type", _epoch("ts").alias("ts_epoch"), "value"
+    )
+
+
+_PULL_ALL_ORACLE = """
+SELECT event_id, user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
+def q_entity_mapping(spark, sf_dir):
+    """Role-playing dimension through the FeatureStore API: a click view
+    keyed on user_id joined under the renamed key buyer_id
+    (with_join_key_map; reference ibis.py:124-142 + the universal test's
+    origin/destination pattern)."""
+    from feast_spark.core.feature_view import Entity, FeatureView
+    from feast_spark.core.source import DataFrameSource
+    from feast_spark.core.store import FeatureStore
+
+    ev = _events(spark, sf_dir)
+    # pre-aggregate to one row per (user, ts) so latest-row selection has
+    # no ties to break (deterministic across engines)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", F.col("ts").alias("event_timestamp"))
+        .agg(F.round(F.max("value"), 6).alias("click_value"))
+    )
+    store = FeatureStore(spark)
+    base_view = FeatureView(
+        name="clicks",
+        source=DataFrameSource(df=clicks),
+        entities=[Entity("user_id")],
+        ttl=None,
+    )
+    store.apply([base_view])
+    mapped = store.with_join_key_map(base_view, {"user_id": "buyer_id"}, "buyer_clicks")
+    store.apply([mapped])
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        F.col("user_id").alias("buyer_id"),
+        F.col("ts").alias("event_timestamp"),
+    )
+    out = store.get_historical_features(spine, ["buyer_clicks:click_value"]).to_spark_df()
+    return out.select(
+        "spine_id", "buyer_id", _epoch("event_timestamp").alias("ts_epoch"), "click_value"
+    )
+
+
+_ENTITY_MAPPING_ORACLE = """
+WITH spine AS (
+  SELECT event_id sid, user_id AS buyer_id, ts FROM events WHERE event_type = 'purchase'
+), feats AS (
+  SELECT user_id AS buyer_id, ts fts, round(MAX(value), 6) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), ranked AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid ORDER BY f.fts DESC) rn
+  FROM spine s JOIN feats f
+    ON f.buyer_id = s.buyer_id AND f.fts <= s.ts
+)
+SELECT s.sid AS spine_id, s.buyer_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       r.value AS click_value
+FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r ON s.sid = r.sid
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1485,6 +1616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "deterministic_sample": q_deterministic_sample,
         "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "leakage_safe_split": q_leakage_safe_split,
+        "pull_all_range": q_pull_all_range,
+        "entity_mapping": q_entity_mapping,
     }
 
 
@@ -1531,6 +1666,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_groups": _DEDUP_GROUPS_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
         "pack_sequences": _PACK_ORACLE,
+        "stratified_sample": _stratified_oracle(),
+        "leakage_safe_split": _LEAKAGE_SPLIT_ORACLE,
+        "pull_all_range": _PULL_ALL_ORACLE,
+        "entity_mapping": _ENTITY_MAPPING_ORACLE,
         # lsh_topk: intentionally rows-only — sign-bit LSH buckets hinge
         # on the SIGN of a float dot product; near-zero dots flip with
         # engine summation order, so no cross-engine SQL oracle can be
