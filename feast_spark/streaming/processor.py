@@ -205,3 +205,57 @@ def stream_session_agg(
         *[f"{fn}_{col}" for fn, col in aggs],
         "n_events",
     )
+
+
+def stream_enrich(
+    stream_df: DataFrame,
+    features: DataFrame,
+    join_keys: list[str],
+    feature_cols: list[str] | None = None,
+    *,
+    stream_ts_col: str = "event_timestamp",
+    feature_ts_col: str = "event_timestamp",
+    created_col: str | None = None,
+    ttl_seconds: int | None = None,
+    sink=None,
+    checkpoint_location: str | None = None,
+    available_now: bool = False,
+    query_name: str = "stream_enrich",
+):
+    """Stream-side feature enrichment: PIT-join each micro-batch of the
+    stream (as the spine) against a batch feature table, then hand the
+    enriched batch to ``sink(batch_df, batch_id)``.
+
+    The reference's streaming path has NO join operator at all
+    (spark_kafka_processor.py:338-417 only writes) — this closes that
+    gap with the exact offline as-of semantics (TTL cutoff,
+    latest-before, created tie-break), so online-enriched streams and
+    offline training frames are computed by the SAME operator: zero
+    training/serving logic skew. Each micro-batch is a bounded spine, so
+    the batch PIT join applies unchanged; the feature side is re-read
+    per batch (pass a table-backed frame so pruning reaches the scan).
+    """
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enriched = point_in_time_join(
+            batch_df,
+            features,
+            join_keys,
+            feature_cols,
+            spine_ts_col=stream_ts_col,
+            feature_ts_col=feature_ts_col,
+            created_col=created_col,
+            ttl_seconds=ttl_seconds,
+        )
+        if sink is not None:
+            sink(enriched, batch_id)
+
+    writer = stream_df.writeStream.queryName(query_name).foreachBatch(process)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

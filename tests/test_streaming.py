@@ -263,3 +263,61 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert a["n_events"] == 2 and a["session_end"] - a["session_start"] == pd.Timedelta(minutes=5)
     b = got[got.doc_id == "b"].iloc[0]
     assert b["n_events"] == 1
+
+
+def test_stream_enrich_pit_join_per_batch(spark, tmp_path):
+    """Stream-side PIT enrichment: each micro-batch joins the latest
+    valid feature value (as-of, TTL) and lands enriched."""
+    import pandas as pd
+
+    from feast_spark import datagen
+    from feast_spark.streaming.processor import stream_enrich
+
+    ts0 = pd.Timestamp("2024-01-01")
+    feats = pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "b"],
+            "event_timestamp": [ts0, ts0 + pd.Timedelta(hours=2), ts0],
+            "val": [1.0, 2.0, 30.0],
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "b", "ghost"],
+            "event_timestamp": [
+                ts0 + pd.Timedelta(hours=1),   # sees val=1
+                ts0 + pd.Timedelta(hours=3),   # sees val=2
+                ts0 + pd.Timedelta(days=40),   # TTL-expired -> NULL
+                ts0 + pd.Timedelta(hours=1),   # unknown key -> NULL
+            ],
+        }
+    )
+    src = str(tmp_path / "stream_src")
+    datagen.to_spark(spark, events).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id string, event_timestamp timestamp")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "enriched")
+
+    def sink(df, _bid):
+        df.write.mode("append").parquet(out_dir)
+
+    q = stream_enrich(
+        stream,
+        datagen.to_spark(spark, feats),
+        ["doc_id"],
+        ["val"],
+        ttl_seconds=30 * 86400,
+        sink=sink,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas().set_index(
+        ["doc_id", "event_timestamp"]
+    )["val"]
+    assert got[("a", ts0 + pd.Timedelta(hours=1))] == 1.0
+    assert got[("a", ts0 + pd.Timedelta(hours=3))] == 2.0
+    assert pd.isna(got[("b", ts0 + pd.Timedelta(days=40))])
+    assert pd.isna(got[("ghost", ts0 + pd.Timedelta(hours=1))])
