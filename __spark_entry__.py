@@ -1486,6 +1486,31 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
 )
 
 
+def q_replicated_sample(spark, sf_dir):
+    """Deterministic fractional upsampling (mixture weight 2.3: every
+    doc twice, ~30% of docs a third time, hash-decided)."""
+    from feast_spark.pipeline.sampling import replicated_sample
+
+    out = replicated_sample(_docs(spark, sf_dir), 2.3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+        "lang",
+    )
+
+
+_REPLICATED_ORACLE = """
+WITH n AS (
+  SELECT doc_id, lang,
+         2 + (CASE WHEN CAST(concat('0x',
+               substr(md5(concat(CAST(doc_id AS VARCHAR), '#rep')), 1, 15))
+               AS BIGINT) % 1000000 < 300000 THEN 1 ELSE 0 END) AS copies
+  FROM documents
+)
+SELECT doc_id, unnest(generate_series(0, copies - 1)) AS copy_idx, lang FROM n
+"""
+
+
 def q_pull_all_range(spark, sf_dir):
     """pull_all_from_table_or_query parity: raw timestamp-range scan
     (reference spark.py:310-364) — the materialization-window read with
@@ -1617,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
+        "replicated_sample": q_replicated_sample,
         "leakage_safe_split": q_leakage_safe_split,
         "pull_all_range": q_pull_all_range,
         "entity_mapping": q_entity_mapping,
@@ -1667,6 +1693,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _KMEANS_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "stratified_sample": _stratified_oracle(),
+        "replicated_sample": _REPLICATED_ORACLE,
         "leakage_safe_split": _LEAKAGE_SPLIT_ORACLE,
         "pull_all_range": _PULL_ALL_ORACLE,
         "entity_mapping": _ENTITY_MAPPING_ORACLE,

@@ -14,6 +14,7 @@ from feast_spark.pipeline.graph import (
 )
 from feast_spark.pipeline.sampling import (
     deterministic_sample,
+    replicated_sample,
     leakage_safe_split,
     mixture_weights,
     pack_sequences,
@@ -40,6 +41,7 @@ __all__ = [
     "dedup_groups_from_pairs",
     "kmeans",
     "deterministic_sample",
+    "replicated_sample",
     "leakage_safe_split",
     "mixture_weights",
     "pack_sequences",

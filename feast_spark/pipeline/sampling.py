@@ -54,6 +54,36 @@ def mixture_weights(
     return out
 
 
+def replicated_sample(
+    df: DataFrame,
+    factor: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic UPSAMPLING by a (possibly fractional) factor ≥ 0:
+    every row appears ``floor(factor)`` times, plus once more iff its
+    hash clears the fractional threshold — so the expected multiplicity
+    is exactly ``factor`` and the realized multiset is a pure function
+    of the row id (rerun/resume-stable, no RNG). The complement of
+    ``deterministic_sample`` for mixture weights > 1.0 (oversampling a
+    small high-quality source). Adds ``copy_idx`` (0-based) so
+    downstream shuffles can decorrelate copies. Explode of a
+    per-row-computed sequence — no shuffle, codegen."""
+    if factor < 0:
+        raise ValueError("factor must be >= 0")
+    base = int(factor)
+    frac = factor - base
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt), F.lit("#rep"))
+    extra = (F.pmod(portable_hash64(key), F.lit(_MOD)) < int(frac * _MOD)).cast("int")
+    n_copies = F.lit(base) + extra
+    # NB: sequence(0, -1) infers step -1 and yields [0, -1]; the
+    # zero-copy case must be an explicit empty array so explode drops it
+    seq = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_idx", F.explode(seq))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -88,3 +88,24 @@ def test_leakage_safe_split(spark):
         .toPandas()
     )
     assert got.sort_values("doc_id")["split"].tolist() == got2.sort_values("doc_id")["split"].tolist()
+
+
+def test_replicated_sample_multiplicity(spark):
+    from feast_spark.pipeline.sampling import replicated_sample
+
+    docs_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs_df.count()
+    # integer factor: exact multiplicity, copy_idx 0..k-1
+    out2 = replicated_sample(docs_df, 2.0)
+    assert out2.count() == 2 * n
+    assert out2.groupBy("doc_id").count().filter("count != 2").count() == 0
+    # fractional factor: between floor and ceil, deterministic across runs
+    out = replicated_sample(docs_df, 1.4)
+    c1 = out.count()
+    assert n <= c1 <= 2 * n
+    assert replicated_sample(docs_df, 1.4).count() == c1
+    # factor < 1 drops rows deterministically (0 copies)
+    half = replicated_sample(docs_df, 0.5).count()
+    assert 0 < half < n
+    # zero factor -> empty
+    assert replicated_sample(docs_df, 0.0).count() == 0
