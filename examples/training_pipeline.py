@@ -24,12 +24,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from feast_spark.core.feature_view import Entity, FeatureView
+from feast_spark.core.source import ParquetSource
+from feast_spark.core.store import FeatureStore, RetrievalJob
+from feast_spark.materialize.feature_logging import FeatureLogger
 from feast_spark.materialize.jobs import MaterializationManifest, materialize_view
 from feast_spark.operators.asof_join import point_in_time_join
 from feast_spark.operators.windows import lag_lead_features, rolling_agg, sessionize
 from feast_spark.pipeline.dedup_text import exact_dedup_docs, lsh_candidate_pairs
 from feast_spark.pipeline.graph import dedup_groups_from_pairs
-from feast_spark.pipeline.sampling import deterministic_sample, pack_sequences
+from feast_spark.pipeline.sampling import (
+    deterministic_sample,
+    leakage_safe_split,
+    pack_sequences,
+)
 from feast_spark.pipeline.text import detect_language, quality_features
 
 
@@ -135,6 +143,44 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     bdf = spark.read.parquet(blocks_path)
     stats["training_blocks"] = bdf.count()
     stats["packed_tokens"] = bdf.agg(F.sum("n_tokens")).first()[0]
+
+    # 7. leakage-safe train/test split: near-duplicate GROUPS (not raw
+    #    ids) decide the side, so test content never leaks into train
+    #    through a near-copy
+    split = leakage_safe_split(kept, near, test_frac=0.1)
+    stats["split"] = {
+        r["split"]: r["count"]
+        for r in split.groupBy("split").count().collect()
+    }
+
+    # 8. durable registry + saved dataset: a later session can restore
+    #    the view, continue materialization incrementally, and fetch the
+    #    training set by name with its metadata
+    store = FeatureStore(spark, registry_path=os.path.join(out_dir, "registry.json"))
+    store.apply(
+        [
+            FeatureView(
+                name="sequences",
+                source=ParquetSource(staging, created_timestamp_column="created"),
+                entities=[Entity("doc_id")],
+            )
+        ]
+    )
+    ds = store.create_saved_dataset(
+        RetrievalJob(spark.read.parquet(train_path)),
+        "training_set_v1",
+        os.path.join(out_dir, "saved_training_set"),
+        ["sequences:tokens", "sequences:n_tok"],
+    )
+    stats["saved_dataset_rows"] = ds.metadata.row_count
+
+    # 9. serving log with a frozen schema contract (training/serving
+    #    skew analysis replays exactly what was served)
+    logger = FeatureLogger(os.path.join(out_dir, "serving_log"))
+    logger.log(
+        spark.read.parquet(train_path).select("doc_id", "event_timestamp", "feat_n_tok").limit(100)
+    )
+    stats["logged_rows"] = logger.read(spark).count()
     return stats
 
 
