@@ -443,6 +443,67 @@ class FeatureStore:
             repartition=repartition,
         )
 
+    # ----------------------------------------------------------- online path
+    def materialize_online(
+        self,
+        view_name: str,
+        online_path: str,
+        start=None,
+        end=None,
+    ) -> int:
+        """Reference ``materialize`` also loads the online store
+        (feature_store.py:1555 → passthrough_provider.py:593): push the
+        view's latest-per-key rows in ``[start, end]`` into the
+        file-backed online snapshot. Returns rows pushed."""
+        from feast_spark.online import LocalOnlineStore
+
+        view = self.get_feature_view(view_name)
+        fdf = self._build_view_df(view)
+        ts = view.timestamp_field
+        if start is not None:
+            fdf = fdf.filter(F.col(ts) >= F.lit(start))
+        if end is not None:
+            fdf = fdf.filter(F.col(ts) <= F.lit(end))
+        return LocalOnlineStore(online_path).push_online(
+            fdf, view.join_keys, ts, view.created_timestamp_column
+        )
+
+    def get_online_features(
+        self,
+        features: Sequence[str] | FeatureService,
+        entity_rows: DataFrame | pd.DataFrame,
+        online_path: str,
+        *,
+        now=None,
+    ) -> DataFrame:
+        """Serve latest features for entity rows from the online
+        snapshot, honoring each view's TTL (reference
+        feature_store.py online path). ``features`` are the same
+        ``view:feature`` refs as historical retrieval; views sharing the
+        snapshot are looked up one by one and accumulated on the request
+        keys."""
+        from feast_spark.online import LocalOnlineStore
+
+        if isinstance(features, FeatureService):
+            features = list(features.features)
+        if isinstance(entity_rows, pd.DataFrame):
+            entity_rows = self.spark.createDataFrame(entity_rows)
+        store = LocalOnlineStore(online_path)
+        out = entity_rows
+        for view_name, wanted in _group_refs(features).items():
+            view = self.get_feature_view(view_name)
+            res = store.get_online_features(
+                self.spark,
+                out.select(*view.join_keys).distinct(),
+                view.join_keys,
+                wanted or view.feature_cols,
+                ttl_seconds=view.ttl_seconds or None,
+                now=now,
+                ts_col=view.timestamp_field,
+            )
+            out = out.join(res, on=view.join_keys, how="left")
+        return out
+
     # --------------------------------------------------------- saved datasets
     def create_saved_dataset(
         self,

@@ -228,3 +228,41 @@ def test_feature_logger_contract(spark, tmp_path):
     assert full.count() == 3
     one_day = logger.read(spark, "2024-01-01")
     assert one_day.count() == 2
+
+
+def test_store_materialize_online_and_serve(spark, tmp_path):
+    ts0 = pd.Timestamp("2024-01-01")
+    feats = pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "b"],
+            "event_timestamp": [ts0, ts0 + pd.Timedelta(hours=5), ts0],
+            "val": [1.0, 2.0, 30.0],
+        }
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="ov",
+                source=DataFrameSource(df=datagen.to_spark(spark, feats)),
+                entities=[Entity("doc_id")],
+                ttl=timedelta(days=30),
+            )
+        ]
+    )
+    online = str(tmp_path / "ov_online")
+    n = store.materialize_online("ov", online)
+    assert n == 2  # latest per key
+    req = pd.DataFrame({"doc_id": ["a", "b", "ghost"]})
+    got = (
+        store.get_online_features(["ov:val"], req, online, now=ts0 + pd.Timedelta(days=1))
+        .toPandas()
+        .set_index("doc_id")["val"]
+    )
+    assert got["a"] == 2.0 and got["b"] == 30.0 and pd.isna(got["ghost"])
+    # past the TTL everything expires
+    got2 = (
+        store.get_online_features(["ov:val"], req, online, now=ts0 + pd.Timedelta(days=90))
+        .toPandas()["val"]
+    )
+    assert got2.isna().all()
