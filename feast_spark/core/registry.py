@@ -39,15 +39,22 @@ _ISO = "%Y-%m-%dT%H:%M:%S.%f"
 
 
 def _ts(v) -> str:
+    """Normalize any accepted timestamp spelling (datetime, pandas
+    Timestamp, ISO string, bare date string) to one canonical format —
+    strings are parsed, not passed through, so interval reads can never
+    hit an unparseable stored value."""
     if isinstance(v, str):
-        return v
+        v = datetime.fromisoformat(v)
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
     return v.strftime(_ISO)
 
 
 def _parse_ts(s: str) -> datetime:
-    return datetime.strptime(s, _ISO)
+    try:
+        return datetime.strptime(s, _ISO)
+    except ValueError:
+        return datetime.fromisoformat(s)
 
 
 def _source_to_dict(src) -> dict:

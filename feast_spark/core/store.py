@@ -140,13 +140,14 @@ class FeatureStore:
             ``{input}`` / ``{input0}``, ``{input1}``… placeholders
             (SQL-string mode, spark_transformation.py:104-119)."""
             if isinstance(udf, str):
-                views = {}
+                sql = udf
                 for i, fr in enumerate(frames):
                     name = f"__view_input_{view.name}_{i}"
                     fr.createOrReplaceTempView(name)
-                    views[f"input{i}"] = name
-                views["input"] = views["input0"]
-                return self.spark.sql(udf.format(**views))
+                    sql = sql.replace(f"{{input{i}}}", name)
+                    if i == 0:
+                        sql = sql.replace("{input}", name)
+                return self.spark.sql(sql)
             return udf(*frames)
 
         if view.source_views:
@@ -355,6 +356,7 @@ class FeatureStore:
         *,
         only_latest: bool = True,
         repartition: int | None = None,
+        redo_since_day: str | None = None,
     ):
         """Materialize a registered view to date-partitioned parquet with
         per-partition lineage manifest + idempotent resume (reference
@@ -370,6 +372,7 @@ class FeatureStore:
         from feast_spark.core.feature_view import SortedFeatureView
 
         if isinstance(view, SortedFeatureView):
+            from feast_spark.materialize.jobs import MaterializationResult
             from feast_spark.materialize.writers import materialize_sorted
 
             if start is not None:
@@ -382,7 +385,9 @@ class FeatureStore:
                 view.join_keys,
                 list(view.sort_keys) or [(view.timestamp_field, "ASC")],
             )
-            return None
+            if self.registry is not None and end is not None:
+                self.registry.apply_materialization(view_name, start, end)
+            return MaterializationResult()
         res = materialize_view(
             self.spark,
             fdf,
@@ -394,6 +399,7 @@ class FeatureStore:
             end=end,
             only_latest=only_latest,
             repartition=repartition,
+            redo_since_day=redo_since_day,
         )
         if self.registry is not None and end is not None:
             self.registry.apply_materialization(view_name, start, end)
@@ -415,9 +421,14 @@ class FeatureStore:
         Start resolution order: (1) the registry's latest interval end
         for the view, (2) the output manifest's day high-watermark (so
         resumability survives even a lost registry), (3) ``end - ttl``
-        when the view has a TTL, (4) unbounded. Re-covering the boundary
-        is safe — day partitions are dynamically overwritten and the
-        manifest skips completed days."""
+        when the view has a TTL, (4) unbounded. The boundary day is
+        ALWAYS re-covered in full: ``start`` is widened to that day's
+        midnight and the day is forced past the manifest's done-skip
+        (``redo_since_day``) — a previous end that fell mid-day would
+        otherwise leave the day partition permanently missing its tail
+        (the dynamic overwrite replaces whole days)."""
+        from datetime import datetime as _dt
+
         view = self.get_feature_view(view_name)
         start = None
         if self.registry is not None:
@@ -427,13 +438,17 @@ class FeatureStore:
 
             hw = MaterializationManifest(out_path).high_watermark()
             if hw is not None:
-                from datetime import datetime
-
-                start = datetime.strptime(hw, "%Y-%m-%d")
+                start = _dt.strptime(hw, "%Y-%m-%d")
         if start is None and view.ttl_seconds:
             from datetime import timedelta as _td
 
             start = end - _td(seconds=view.ttl_seconds)
+        redo_since_day = None
+        if start is not None:
+            if hasattr(start, "to_pydatetime"):
+                start = start.to_pydatetime()
+            redo_since_day = start.strftime("%Y-%m-%d")
+            start = _dt.strptime(redo_since_day, "%Y-%m-%d")
         return self.materialize(
             view_name,
             out_path,
@@ -441,6 +456,7 @@ class FeatureStore:
             end=end,
             only_latest=only_latest,
             repartition=repartition,
+            redo_since_day=redo_since_day,
         )
 
     # ----------------------------------------------------------- online path
@@ -492,11 +508,30 @@ class FeatureStore:
         out = entity_rows
         for view_name, wanted in _group_refs(features).items():
             view = self.get_feature_view(view_name)
+            cols = wanted or view.feature_cols
+            if cols is None:
+                # schema-less view: everything in the snapshot that is
+                # not a key or timestamp — NOT the raw snapshot row,
+                # which would drag event_timestamp/other views' columns
+                # into the output and collide
+                snap_cols = self.spark.read.parquet(online_path).columns
+                excl = set(view.join_keys) | {
+                    view.timestamp_field,
+                    view.created_timestamp_column,
+                    "__bucket",
+                }
+                cols = [c for c in snap_cols if c not in excl]
+            dup = set(cols) & (set(out.columns) - set(view.join_keys))
+            if dup:
+                raise ValueError(
+                    f"online feature columns {sorted(dup)} from view "
+                    f"{view_name!r} collide with columns already present"
+                )
             res = store.get_online_features(
                 self.spark,
                 out.select(*view.join_keys).distinct(),
                 view.join_keys,
-                wanted or view.feature_cols,
+                cols,
                 ttl_seconds=view.ttl_seconds or None,
                 now=now,
                 ts_col=view.timestamp_field,
@@ -624,7 +659,18 @@ def _apply_odfv(
             raise TypeError("sql-mode ODFV needs a SQL string udf")
         view_name = f"__odfv_input_{odfv.name}"
         df.createOrReplaceTempView(view_name)
-        out = df.sparkSession.sql(odfv.udf.format(input=view_name))
+        # plain replace, NOT str.format — SQL legitimately contains
+        # braces (map/struct literals, regex in strings)
+        out = df.sparkSession.sql(odfv.udf.replace("{input}", view_name))
+        # enforce the requested subset: declared output columns that were
+        # not asked for are dropped (they would leak unprefixed and can
+        # collide with other views' columns)
+        unwanted = [
+            f.name for f in odfv.output_fields
+            if f.name not in names and f.name in out.columns
+        ]
+        if unwanted:
+            out = out.drop(*unwanted)
         if prefix:
             for n in names:
                 out = out.withColumnRenamed(n, prefix + n)

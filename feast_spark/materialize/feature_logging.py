@@ -54,23 +54,29 @@ class FeatureLogger:
             json.dump(schema.jsonValue(), f)
 
     def log(self, df: DataFrame, log_timestamp=None) -> int:
-        """Append one served batch; returns rows logged."""
-        stamped = df.withColumn(
-            LOG_TIMESTAMP,
-            F.lit(log_timestamp).cast("timestamp") if log_timestamp is not None
-            else F.current_timestamp(),
-        )
-        contract = self._load_schema()
-        if contract is None:
-            contract = T.StructType(
-                [f for f in stamped.schema.fields]
+        """Append one served batch; returns rows logged (counted from the
+        cached frame — the input DAG executes once, not once for the
+        write and again for the count)."""
+        df = df.persist()
+        try:
+            stamped = df.withColumn(
+                LOG_TIMESTAMP,
+                F.lit(log_timestamp).cast("timestamp") if log_timestamp is not None
+                else F.current_timestamp(),
             )
-            self._store_schema(contract)
-        else:
-            stamped = align_schema(stamped, contract)
-        out = stamped.withColumn(LOG_DATE, F.to_date(F.col(LOG_TIMESTAMP)).cast("string"))
-        out.write.mode("append").partitionBy(LOG_DATE).parquet(self.path)
-        return df.count()
+            contract = self._load_schema()
+            if contract is None:
+                contract = T.StructType(list(stamped.schema.fields))
+                self._store_schema(contract)
+            else:
+                stamped = align_schema(stamped, contract)
+            out = stamped.withColumn(
+                LOG_DATE, F.to_date(F.col(LOG_TIMESTAMP)).cast("string")
+            )
+            out.write.mode("append").partitionBy(LOG_DATE).parquet(self.path)
+            return df.count()
+        finally:
+            df.unpersist()
 
     def read(self, spark: SparkSession, date: str | None = None) -> DataFrame:
         df = spark.read.option("basePath", self.path).parquet(

@@ -142,6 +142,7 @@ def materialize_view(
     repartition: int | None = None,
     chunk_days: int = 32,
     fail_after_partition: str | None = None,
+    redo_since_day: str | None = None,
 ) -> MaterializationResult:
     """Materialize ``features`` to date-partitioned parquet with manifest
     checkpointing; re-running skips completed partitions.
@@ -160,6 +161,11 @@ def materialize_view(
     ``repartition`` mirrors the reference's ``partitions`` knob
     (compute.py:197-200). ``fail_after_partition`` is a crash-injection
     test hook (fires after committing the chunk containing that day).
+    ``redo_since_day`` forces days >= that day to be recomputed even if
+    the manifest marks them done — incremental runs whose previous end
+    fell MID-day use it to re-cover the boundary day in full (the
+    dynamic partition overwrite replaces the whole day, so the caller
+    must also widen ``start`` to that day's midnight).
 
     NOTE: each chunk re-evaluates ``features`` — pass a table-backed
     frame; stage deep computation DAGs to parquet first (measured ~30x
@@ -182,7 +188,7 @@ def materialize_view(
     res = MaterializationResult()
     pending = []
     for day in all_days:
-        if day in done:
+        if day in done and (redo_since_day is None or day < redo_since_day):
             res.skipped.append(day)
         else:
             pending.append(day)

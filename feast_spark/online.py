@@ -72,7 +72,10 @@ class LocalOnlineStore:
         spark = df.sparkSession
         if self.exists():
             existing = spark.read.parquet(self.path).drop("__bucket")
-            df = existing.unionByName(df.select(*existing.columns))
+            # allowMissingColumns both ways: a push with NEW feature
+            # columns evolves the snapshot schema (old rows get NULLs)
+            # instead of silently dropping the new data
+            df = existing.unionByName(df, allowMissingColumns=True)
         # stage through a temp path: the overwrite must not read from the
         # directory it is replacing
         tmp = self.path.rstrip("/") + ".__push_tmp"

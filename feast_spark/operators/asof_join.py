@@ -341,58 +341,70 @@ def _pit_merge_asof(
 
     keys = list(join_keys)
     tiebreaks = list(tie_breaker_cols)
+
+    def _micros(frame: DataFrame, col: str) -> Column:
+        """Epoch-microsecond long of a timestamp column. The pandas stage
+        and the payload re-attach join run entirely on these longs —
+        timestamps never round-trip JVM→pandas→JVM, so non-UTC session
+        timezones (DST-ambiguous local times) cannot shift a value and
+        silently miss the equi-join."""
+        c = F.col(col)
+        if frame.schema[col].dataType.typeName() == "timestamp_ntz":
+            c = c.cast("timestamp")
+        return F.unix_micros(c)
+
     # the pandas stage only decides WHICH (keys, ts) wins per spine row;
     # created/tie-break resolution happens in the JVM-side winner dedup,
-    # so narrow rows are just (keys, ts)
-    narrow_f_cols = list(dict.fromkeys(keys + [feature_ts_col]))
-    narrow_s = s.select(*keys, spine_ts_col, SPINE_ROW_ID)
+    # so narrow rows are just (keys, ts-micros)
+    narrow_s = s.select(
+        *keys, _micros(s, spine_ts_col).alias("__s_us"), SPINE_ROW_ID
+    )
+    narrow_f = features.select(
+        *keys, _micros(features, feature_ts_col).alias("__f_us")
+    )
 
-    # __feature_ts keeps the feature column's exact timestamp type
-    # (timestamp vs timestamp_ntz) — it is an equi-join key for the
-    # payload re-attach, so an implicit cast would be a silent mismatch
     out_schema = T.StructType(
         [
             T.StructField(SPINE_ROW_ID, T.StringType(), False),
-            T.StructField("__feature_ts", features.schema[feature_ts_col].dataType, True),
+            T.StructField("__f_us", T.LongType(), True),
         ]
     )
 
-    ttl = int(ttl_seconds) if ttl_seconds else 0
-    f_ts = feature_ts_col
-    s_ts = spine_ts_col
+    ttl_us = int(ttl_seconds) * 1_000_000 if ttl_seconds else 0
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(
                 {
                     SPINE_ROW_ID: pd.Series([], dtype="object"),
-                    "__feature_ts": pd.Series([], dtype="datetime64[us]"),
+                    "__f_us": pd.array([], dtype="Int64"),
                 }
             )
-        left = left.sort_values(s_ts, kind="mergesort")
+        left = left.sort_values("__s_us", kind="mergesort")
         if right.empty:
             return pd.DataFrame(
                 {
                     SPINE_ROW_ID: left[SPINE_ROW_ID],
-                    "__feature_ts": pd.Series([pd.NaT] * len(left), dtype="datetime64[us]"),
+                    "__f_us": pd.array([None] * len(left), dtype="Int64"),
                 }
             )
-        right = right.drop_duplicates([*keys, f_ts]).sort_values(f_ts, kind="mergesort")
-        right_sel = right[[*keys, f_ts]].rename(columns={f_ts: "__feature_ts"})
+        right = right.drop_duplicates([*keys, "__f_us"]).sort_values(
+            "__f_us", kind="mergesort"
+        )
         merged = pd.merge_asof(
-            left[[*keys, s_ts, SPINE_ROW_ID]],
-            right_sel,
-            left_on=s_ts,
-            right_on="__feature_ts",
+            left[[*keys, "__s_us", SPINE_ROW_ID]],
+            right[[*keys, "__f_us"]],
+            left_on="__s_us",
+            right_on="__f_us",
             by=keys,
             direction="backward",
             allow_exact_matches=True,
-            tolerance=pd.Timedelta(seconds=ttl) if ttl > 0 else None,
+            tolerance=ttl_us if ttl_us > 0 else None,
         )
         return pd.DataFrame(
             {
                 SPINE_ROW_ID: merged[SPINE_ROW_ID],
-                "__feature_ts": merged["__feature_ts"],
+                "__f_us": merged["__f_us"].astype("Int64"),
             }
         )
 
@@ -403,7 +415,7 @@ def _pit_merge_asof(
     # exprIds and Spark's cogroup deduplication silently prunes the
     # right-side copies. Fresh names guarantee fresh attributes; the
     # pandas fn strips the prefix.
-    f_r = features.select(*[F.col(c).alias(f"__r_{c}") for c in narrow_f_cols])
+    f_r = narrow_f.select(*[F.col(c).alias(f"__r_{c}") for c in narrow_f.columns])
     f_b = f_r.withColumn(
         "__b", F.pmod(F.hash(*[f"__r_{k}" for k in keys]), F.lit(n_buckets))
     )
@@ -421,8 +433,9 @@ def _pit_merge_asof(
 
     # JVM-side payload re-attach: the as-of winner per (keys, ts) is the
     # max-created (then tie-break) row — one window dedup, then an
-    # equi-join on (keys, matched ts). Fully deterministic (no synthetic
-    # row id shared across plan branches).
+    # equi-join on (keys, matched ts-micros). Fully deterministic (no
+    # synthetic row id shared across plan branches, no timestamp
+    # round-trip).
     order = ([F.col(created_col).desc()] if created_col else []) + [
         F.col(c).desc() for c in tiebreaks
     ]
@@ -441,11 +454,16 @@ def _pit_merge_asof(
         )
         .withColumn("__feast_rn", F.row_number().over(wwin))
         .filter(F.col("__feast_rn") == 1)
-        .select(*keys, F.col(feature_ts_col).alias("__feature_ts"), *feature_cols)
+        .select(
+            *keys,
+            _micros(features, feature_ts_col).alias("__f_us"),
+            F.col(feature_ts_col).alias("__feature_ts"),
+            *feature_cols,
+        )
     )
     out = (
         s.join(matched, on=SPINE_ROW_ID, how="left")
-        .join(winner, on=[*keys, "__feature_ts"], how="left")
+        .join(winner, on=[*keys, "__f_us"], how="left")
     )
     keep = spine.columns + list(feature_cols) + (
         ["__feature_ts"] if include_feature_ts else []

@@ -72,9 +72,12 @@ def replicated_sample(
     if factor < 0:
         raise ValueError("factor must be >= 0")
     base = int(factor)
-    frac = factor - base
+    # round, don't truncate: 2.3 - 2 = 0.2999999999999998 would truncate
+    # to threshold 299999 and disagree with an oracle computing
+    # int(0.3 * 1e6) = 300000
+    frac_thresh = round((factor - base) * _MOD)
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt), F.lit("#rep"))
-    extra = (F.pmod(portable_hash64(key), F.lit(_MOD)) < int(frac * _MOD)).cast("int")
+    extra = (F.pmod(portable_hash64(key), F.lit(_MOD)) < F.lit(frac_thresh)).cast("int")
     n_copies = F.lit(base) + extra
     # NB: sequence(0, -1) infers step -1 and yields [0, -1]; the
     # zero-copy case must be an explicit empty array so explode drops it

@@ -266,3 +266,144 @@ def test_store_materialize_online_and_serve(spark, tmp_path):
         .toPandas()["val"]
     )
     assert got2.isna().all()
+
+
+def test_incremental_recovers_midday_boundary(spark, tmp_path):
+    """A previous end that fell MID-day must not permanently lose the
+    tail of that day (code-review finding r2)."""
+    from datetime import datetime
+
+    from feast_spark.core.source import ParquetSource
+
+    ts0 = pd.Timestamp("2024-03-01")
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "event_timestamp": [
+                ts0 + pd.Timedelta(hours=6),   # day 1 morning
+                ts0 + pd.Timedelta(hours=18),  # day 1 evening (the tail)
+                ts0 + pd.Timedelta(days=1, hours=3),
+            ],
+            "val": [1.0, 2.0, 3.0],
+        }
+    )
+    src = str(tmp_path / "src")
+    datagen.to_spark(spark, rows).write.parquet(src)
+    reg = str(tmp_path / "reg.json")
+    out = str(tmp_path / "mat")
+    store = FeatureStore(spark, registry_path=reg)
+    store.apply(
+        [
+            FeatureView(
+                name="mv",
+                source=ParquetSource(src),
+                entities=[Entity("doc_id")],
+            )
+        ]
+    )
+    # first window ends mid-day: only the morning row of day 1 lands
+    store.materialize("mv", out, start=datetime(2024, 3, 1), end=datetime(2024, 3, 1, 12))
+    got1 = spark.read.option("basePath", out).parquet(f"{out}/day=*")
+    assert got1.count() == 1
+    # incremental must re-cover the boundary day IN FULL
+    store.materialize_incremental("mv", out, end=datetime(2024, 3, 3))
+    got2 = spark.read.option("basePath", out).parquet(f"{out}/day=*").toPandas()
+    assert sorted(got2["doc_id"]) == ["a", "b", "c"]
+
+
+def test_registry_accepts_string_timestamps(spark, tmp_path):
+    from feast_spark.core.registry import FileRegistry
+
+    reg = FileRegistry(str(tmp_path / "r.json"))
+    reg.apply_materialization("v", "2024-01-01", "2024-02-01")
+    assert reg.latest_materialization_end("v").year == 2024
+    reg.apply_materialization("v", None, "2024-03-01T10:30:00")
+    assert reg.latest_materialization_end("v").month == 3
+
+
+def test_online_push_evolves_schema(spark, tmp_path):
+    ts0 = pd.Timestamp("2024-01-01")
+    store = LocalOnlineStore(str(tmp_path / "evo"))
+    store.push_online(
+        datagen.to_spark(
+            spark,
+            pd.DataFrame(
+                {"doc_id": ["a"], "event_timestamp": [ts0], "f1": [1.0]}
+            ),
+        ),
+        ["doc_id"],
+    )
+    # new column f2 must survive the merge, not be silently dropped
+    store.push(
+        datagen.to_spark(
+            spark,
+            pd.DataFrame(
+                {
+                    "doc_id": ["b"],
+                    "event_timestamp": [ts0],
+                    "f1": [2.0],
+                    "f2": [20.0],
+                }
+            ),
+        ),
+        ["doc_id"],
+    )
+    req = datagen.to_spark(spark, pd.DataFrame({"doc_id": ["a", "b"]}))
+    got = (
+        store.get_online_features(spark, req, ["doc_id"], ["f1", "f2"])
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc["b", "f2"] == 20.0
+    assert pd.isna(got.loc["a", "f2"])
+
+
+def test_sql_odfv_with_brace_literals(spark, store_with_view):
+    store, spine = store_with_view
+    store.apply(
+        [
+            OnDemandFeatureView(
+                name="brace",
+                mode="sql",
+                udf="SELECT *, map('k', val)['k'] AS mapped, named_struct('x', val).x AS sx "
+                    "FROM {input}",
+                schema=[Field("mapped", "double"), Field("sx", "double")],
+            )
+        ]
+    )
+    got = store.get_historical_features(spine, ["vals:val", "brace:mapped"]).to_df()
+    assert (got["mapped"] == got["val"]).all()
+    assert "sx" not in got.columns  # unrequested declared output is dropped
+
+
+def test_merge_asof_non_utc_session_timezone(spark):
+    """Timestamps never round-trip through pandas in the merge_asof path,
+    so a DST session timezone cannot shift them (code-review finding)."""
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # 2024-11-03 01:30 PT is ambiguous (fall-back hour)
+        feats = spark.createDataFrame(
+            [("a", "2024-11-03 08:30:00", 1.0), ("a", "2024-11-03 10:30:00", 2.0)],
+            "doc_id string, ts_str string, val double",
+        ).select(
+            "doc_id",
+            F.to_timestamp("ts_str").alias("event_timestamp"),
+            "val",
+        )
+        spine = spark.createDataFrame(
+            [("a", "2024-11-03 09:00:00"), ("a", "2024-11-03 11:00:00")],
+            "doc_id string, ts_str string",
+        ).select("doc_id", F.to_timestamp("ts_str").alias("event_timestamp"))
+        got = (
+            point_in_time_join(
+                spine, feats, ["doc_id"], ["val"], strategy="merge_asof"
+            )
+            .toPandas()
+            .sort_values("event_timestamp")
+        )
+        assert got["val"].tolist() == [1.0, 2.0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
