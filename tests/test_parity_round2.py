@@ -407,3 +407,22 @@ def test_merge_asof_non_utc_session_timezone(spark):
         assert got["val"].tolist() == [1.0, 2.0]
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_store_multi_view_merge_asof_strategy(spark, store_with_view):
+    """FeatureStore retrieval with the Arrow merge_asof physical strategy
+    must equal the Catalyst join_dedup default."""
+    store, spine = store_with_view
+    a = (
+        store.get_historical_features(spine, ["vals:val"], strategy="join_dedup")
+        .to_df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        store.get_historical_features(spine, ["vals:val"], strategy="merge_asof")
+        .to_df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[["doc_id", "val"]], b[["doc_id", "val"]])
