@@ -989,6 +989,64 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE grouping sets: revenue by every subset of
+    (returnflag, linestatus) including both marginals and grand total
+    (rollup's sibling — completes the grouping-sets surface)."""
+    li = _prep(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return out.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+        "revenue",
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_ntile_buckets(spark, sf_dir):
+    """ntile window: quartile assignment of order totals per market
+    segment + per-quartile aggregates."""
+    from pyspark.sql import Window
+
+    cust = _prep(spark).read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _prep(spark).read.parquet(f"{sf_dir}/orders.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    q = j.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select(
+        "c_mktsegment", F.col("quartile").cast("long").alias("quartile"),
+        "n_orders", "total",
+    )
+
+
+_NTILE_ORACLE = """
+WITH q AS (
+  SELECT c_mktsegment, o_totalprice,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, CAST(quartile AS BIGINT) quartile,
+       COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS total
+FROM q GROUP BY 1, 2
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentiles (median / p90) of value per event_type — exact
     `percentile` (linear interpolation), matching DuckDB quantile_cont."""
@@ -1617,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_never_ordered": q_parts_never_ordered,
         "pivot_order_status": q_pivot_order_status,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "ntile_buckets": q_ntile_buckets,
         "value_percentiles": q_value_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
         "odfv_adjusted": q_odfv_adjusted,
@@ -1669,6 +1729,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": _ANTI_ORACLE,
         "pivot_order_status": _PIVOT_ORACLE,
         "rollup_revenue": _ROLLUP_ORACLE,
+        "cube_revenue": _CUBE_ORACLE,
+        "ntile_buckets": _NTILE_ORACLE,
         "value_percentiles": _PCT_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,
         "odfv_adjusted": _ODFV_ORACLE,
