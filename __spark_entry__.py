@@ -821,6 +821,30 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal row-expansion plumbing: n frame rows per blob with a
+    deterministic per-frame sha256 (payload + ASCII frame index)."""
+    from feast_spark.pipeline.multimodal import frame_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    out = frame_sample(d, n_frames=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_sha",
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       sha256(concat(text, CAST(i AS VARCHAR))) AS frame_sha
+FROM documents, (SELECT unnest(generate_series(0, 2)) AS i)
+"""
+
+
 _IMAGE_FEATURES_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1697,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
         "dedup_groups": q_dedup_groups,
         "kmeans_clusters": q_kmeans_clusters,
         "deterministic_sample": q_deterministic_sample,
@@ -1751,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "image_features": _IMAGE_FEATURES_ORACLE,
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
         "dedup_groups": _DEDUP_GROUPS_ORACLE,
         "kmeans_clusters": _KMEANS_ORACLE,
         "pack_sequences": _PACK_ORACLE,

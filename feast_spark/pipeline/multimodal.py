@@ -124,7 +124,9 @@ def frame_sample(
 ) -> DataFrame:
     """Video frame sampling plumbing: emits one row per sampled frame
     index with a deterministic per-frame payload hash (real codec would
-    decode actual frames — same row-expansion shape)."""
+    decode actual frames — same row-expansion shape). The per-frame hash
+    is sha256 of payload + ASCII frame index, so an independent SQL
+    engine can recompute it (cross-engine oracle-able)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -143,7 +145,7 @@ def frame_sample(
                         (
                             id_,
                             i,
-                            hashlib.sha256(payload + i.to_bytes(4, "big")).hexdigest(),
+                            hashlib.sha256(payload + str(i).encode()).hexdigest(),
                         )
                     )
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_sha"])
