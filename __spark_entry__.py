@@ -622,6 +622,37 @@ WHERE c / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
 """
 
 
+def q_winnowing(spark, sf_dir):
+    """Rolling-hash document fingerprints (winnowing / MOSS): min k-gram
+    hash per sliding position window — the partial-overlap clone-
+    detection primitive."""
+    from feast_spark.pipeline.text import winnowing_fingerprints
+
+    out = winnowing_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return out.select(F.col("id").cast("long").alias("doc_id"), "fingerprint")
+
+
+_WINNOWING_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), ex AS (
+  SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 4)) AS p
+  FROM norm WHERE length(nt) >= 5
+), hashed AS (
+  SELECT doc_id, p - 1 AS pos,
+         CAST(concat('0x', substr(md5(substr(nt, p, 5)), 1, 15)) AS BIGINT) AS h
+  FROM ex
+), sel AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint,
+         MAX(pos) OVER (PARTITION BY doc_id) AS pmax
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fingerprint FROM sel WHERE pos >= 3 OR pos = pmax
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-3 neighbors for the first 20 vectors."""
     from feast_spark.pipeline.similarity import brute_force_topk
@@ -1715,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnowing": q_winnowing,
         "embedding_topk": q_embedding_topk,
         "embedding_dups": q_embedding_dups,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1771,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "winnowing": _WINNOWING_ORACLE,
         "embedding_topk": _EMB_TOPK_ORACLE,
         "embedding_dups": _EMB_DUPS_ORACLE,
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),

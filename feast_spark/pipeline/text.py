@@ -157,3 +157,51 @@ def tf_idf(
         )
         .select("id", "word", F.col("tf").cast("long").alias("tf"), "tfidf")
     )
+
+
+def winnowing_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every overlapping character k-gram of the
+    normalized text with the portable hash (the per-k-gram hashes play
+    the role a sequential Rabin rolling hash plays on a single CPU —
+    a data-parallel engine computes them independently instead), then
+    keep the MINIMUM hash of each sliding window of ``w`` consecutive
+    positions. The
+    selected set is position-robust — any match of length >= k + w - 1
+    between two documents shares at least one fingerprint — which makes
+    it the standard rolling-hash primitive for partial-overlap / clone
+    detection (where whole-text md5 and word shingles both fail).
+
+    Physical plan: one codegen ``regexp_extract_all`` with a zero-width
+    lookahead emits all overlapping k-grams (same trick as
+    dedup_text.word_shingles), posexplode keeps positions, a single
+    running-min window (ROWS w-1 PRECEDING) selects winners, distinct
+    dedups. One shuffle on doc id. Documents shorter than k produce no
+    fingerprints; documents with fewer than ``w`` k-grams contribute the
+    min over all their positions (the final partial window).
+
+    Returns (id, fingerprint) rows — the inverted-index shape: equal
+    fingerprints across docs are clone candidates.
+    """
+    from pyspark.sql import Window
+
+    nt = normalize_text(F.col(text_col))
+    grams = F.regexp_extract_all(nt, F.lit(f"(?=(.{{{k}}}))"), 1)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "__g")
+    ).select("id", "pos", (portable_hash64(F.col("__g"))).alias("__h"))
+    run = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    whole = Window.partitionBy("id")
+    sel = ex.select(
+        "id",
+        "pos",
+        F.min("__h").over(run).alias("fingerprint"),
+        F.max("pos").over(whole).alias("__pmax"),
+    ).filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("__pmax")))
+    return sel.select("id", "fingerprint").distinct()

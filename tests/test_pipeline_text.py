@@ -224,3 +224,35 @@ def test_simhash_pairs_sane(spark, docs):
     pairs = simhash_pairs(docs, max_hamming=3).toPandas()
     assert (pairs["hamming"] <= 3).all()
     assert (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_winnowing_fingerprints_properties(spark):
+    """Winnowing guarantees: (a) deterministic, (b) any shared substring
+    of length >= k + w - 1 yields at least one shared fingerprint, and
+    (c) fingerprints are position-robust (a prefix insertion keeps most
+    of the original fingerprint set)."""
+    from feast_spark.pipeline.text import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "PREFIX INSERTED HERE " + base),
+            (3, "completely different content about financial markets"),
+            (4, "tiny"),  # shorter than k -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(docs, k=5, w=4).toPandas()
+    sets = {i: set(g["fingerprint"]) for i, g in fp.groupby("id")}
+    # determinism
+    fp2 = winnowing_fingerprints(docs, k=5, w=4).toPandas()
+    sets2 = {i: set(g["fingerprint"]) for i, g in fp2.groupby("id")}
+    assert sets == sets2
+    # shared-substring guarantee: docs 1 and 2 share the whole base text
+    overlap = len(sets[1] & sets[2]) / len(sets[1])
+    assert overlap > 0.8, overlap
+    # unrelated docs share (almost) nothing
+    assert len(sets[1] & sets[3]) <= 1
+    # shorter than k: no fingerprints
+    assert 4 not in sets
