@@ -198,10 +198,18 @@ def winnowing_fingerprints(
     ).select("id", "pos", (portable_hash64(F.col("__g"))).alias("__h"))
     run = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
     whole = Window.partitionBy("id")
+    order = Window.partitionBy("id").orderBy("pos")
     sel = ex.select(
         "id",
         "pos",
         F.min("__h").over(run).alias("fingerprint"),
         F.max("pos").over(whole).alias("__pmax"),
     ).filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("__pmax")))
+    # a window minimum repeats for ~w consecutive positions; dropping
+    # consecutive duplicates with a lag (same partition/order -> same
+    # window exec, no extra shuffle) cuts the distinct's shuffle volume
+    # ~w-fold before the final dedup
+    sel = sel.withColumn("__prev", F.lag("fingerprint").over(order)).filter(
+        F.col("__prev").isNull() | (F.col("fingerprint") != F.col("__prev"))
+    )
     return sel.select("id", "fingerprint").distinct()
