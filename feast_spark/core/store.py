@@ -76,9 +76,21 @@ class RetrievalJob:
         spark.py:423-460)."""
         self._df.createOrReplaceTempView(name)
 
-    def to_remote_storage(self, path: str) -> None:
-        """Staged parquet export (reference spark.py:465-515)."""
+    def to_remote_storage(self, path: str) -> list[str]:
+        """Staged parquet export; returns the written data-file list
+        (reference spark.py:465-515 returns the staged file URIs)."""
         self._df.write.mode("overwrite").parquet(path)
+        jvm = self._df.sparkSession._jvm
+        jsc = self._df.sparkSession._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        out = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if not p.split("/")[-1].startswith("_"):
+                out.append(p)
+        return sorted(out)
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
@@ -388,13 +400,23 @@ class FeatureStore:
             if self.registry is not None and end is not None:
                 self.registry.apply_materialization(view_name, start, end)
             return MaterializationResult()
+        ts_col = view.timestamp_field
+        created = view.created_timestamp_column
+        if view.aggregations:
+            # a view with an Aggregation spec materializes AGGREGATED
+            # feature values, not raw rows (reference feature_builder.py:
+            # 69-72: aggregate node in the materialization DAG); the
+            # window-end becomes the event timestamp of the aggregate row
+            fdf, ts_col, created = _apply_aggregations(fdf, view, ts_col)
+            fdf = fdf.withColumnRenamed(ts_col, view.timestamp_field)
+            ts_col = view.timestamp_field
         res = materialize_view(
             self.spark,
             fdf,
             out_path,
             view.join_keys,
-            ts_col=view.timestamp_field,
-            created_col=view.created_timestamp_column,
+            ts_col=ts_col,
+            created_col=created,
             start=start,
             end=end,
             only_latest=only_latest,
@@ -476,12 +498,16 @@ class FeatureStore:
         view = self.get_feature_view(view_name)
         fdf = self._build_view_df(view)
         ts = view.timestamp_field
+        created = view.created_timestamp_column
+        if view.aggregations:
+            fdf, agg_ts, created = _apply_aggregations(fdf, view, ts)
+            fdf = fdf.withColumnRenamed(agg_ts, ts)
         if start is not None:
             fdf = fdf.filter(F.col(ts) >= F.lit(start))
         if end is not None:
             fdf = fdf.filter(F.col(ts) <= F.lit(end))
         return LocalOnlineStore(online_path).push_online(
-            fdf, view.join_keys, ts, view.created_timestamp_column
+            fdf, view.join_keys, ts, created
         )
 
     def get_online_features(

@@ -426,3 +426,60 @@ def test_store_multi_view_merge_asof_strategy(spark, store_with_view):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[["doc_id", "val"]], b[["doc_id", "val"]])
+
+
+def test_materialize_aggregated_view(spark, tmp_path):
+    """A view with an Aggregation spec materializes AGGREGATED values
+    (reference feature_builder aggregate node), not raw rows."""
+    from feast_spark.core.feature_view import Aggregation
+
+    ts0 = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 4 + ["b"] * 2,
+            "event_timestamp": [ts0 + pd.Timedelta(hours=h) for h in (1, 2, 30, 31)]
+            + [ts0 + pd.Timedelta(hours=1), ts0 + pd.Timedelta(hours=2)],
+            "val": [1.0, 2.0, 4.0, 8.0, 10.0, 20.0],
+        }
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="agg_view",
+                source=DataFrameSource(df=datagen.to_spark(spark, rows)),
+                entities=[Entity("doc_id")],
+                aggregations=[Aggregation("val", "sum", time_window=timedelta(days=1))],
+            )
+        ]
+    )
+    out = str(tmp_path / "aggmat")
+    store.materialize("agg_view", out)
+    got = (
+        spark.read.option("basePath", out)
+        .parquet(f"{out}/day=*")
+        .toPandas()
+        .sort_values(["doc_id", "event_timestamp"])
+    )
+    # day-1 window for 'a' sums 1+2, day-2 window sums 4+8; 'b' one window
+    assert got["sum_val_86400s"].tolist() == [3.0, 12.0, 30.0]
+
+    # online push of the same aggregated view serves the LATEST window
+    online = str(tmp_path / "aggonline")
+    store.materialize_online("agg_view", online)
+    req = datagen.to_spark(spark, pd.DataFrame({"doc_id": ["a", "b"]}))
+    served = (
+        LocalOnlineStore(online)
+        .get_online_features(spark, req, ["doc_id"], ["sum_val_86400s"])
+        .toPandas()
+        .set_index("doc_id")["sum_val_86400s"]
+    )
+    assert served["a"] == 12.0 and served["b"] == 30.0
+
+
+def test_to_remote_storage_returns_file_list(spark, tmp_path, store_with_view):
+    store, spine = store_with_view
+    job = store.get_historical_features(spine, ["vals:val"])
+    files = job.to_remote_storage(str(tmp_path / "staged"))
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert spark.read.parquet(str(tmp_path / "staged")).count() == 20
