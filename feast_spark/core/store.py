@@ -163,8 +163,10 @@ class FeatureStore:
             return udf(*frames)
 
         if view.source_views:
-            parents = [self._build_view_df(self._views[p.name] if isinstance(p, str) else p)
-                       for p in view.source_views]
+            parents = [
+                self._build_view_df(self.get_feature_view(p) if isinstance(p, str) else p)
+                for p in view.source_views
+            ]
             if view.udf is not None:
                 df = _transform(view.udf, *parents)
             else:
@@ -251,12 +253,30 @@ class FeatureStore:
             fdf = self._build_view_df(view)
             ts_col = view.timestamp_field
             created = view.created_timestamp_column
-            if bounds is not None and bounds[0] is not None:
+            has_plain_aggs = bool(view.aggregations) and any(
+                a.time_window is None for a in view.aggregations
+            )
+            if bounds is not None and bounds[0] is not None and not has_plain_aggs:
+                # Pruning correctness: non-windowed (whole-history)
+                # aggregates would change value under ANY input prune —
+                # those views skip pruning entirely (the guard above).
+                # Windowed aggregates widen the lower bound by the window
+                # length (a window joinable at [lo - ttl] starts
+                # window_seconds earlier). The lower bound — row-level
+                # AND date-partition — applies only when ttl > 0; with an
+                # infinite TTL the latest valid row may be arbitrarily
+                # old.
                 lo, hi = bounds
+                widen = 0
+                if view.aggregations:
+                    widen = max(
+                        int(a.time_window.total_seconds()) for a in view.aggregations
+                    )
                 upper = F.col(ts_col) <= F.lit(hi)
                 if view.ttl_seconds > 0:
                     lower = F.col(ts_col) >= (
-                        F.lit(lo) - F.expr(f"INTERVAL {view.ttl_seconds} SECONDS")
+                        F.lit(lo)
+                        - F.expr(f"INTERVAL {view.ttl_seconds + widen} SECONDS")
                     )
                     fdf = fdf.filter(upper & lower)
                 else:
@@ -265,12 +285,13 @@ class FeatureStore:
                 # column (reference spark.py:123-136, offline_utils.py:350-355)
                 pcol = getattr(view.source, "date_partition_column", None)
                 if pcol:
-                    lo_date = F.date_sub(
-                        F.lit(lo).cast("date"), view.ttl_seconds // 86400 + 1
-                    )
-                    fdf = fdf.filter(
-                        (F.col(pcol) >= lo_date) & (F.col(pcol) <= F.lit(hi).cast("date"))
-                    )
+                    fdf = fdf.filter(F.col(pcol) <= F.lit(hi).cast("date"))
+                    if view.ttl_seconds > 0:
+                        lo_date = F.date_sub(
+                            F.lit(lo).cast("date"),
+                            (view.ttl_seconds + widen) // 86400 + 1,
+                        )
+                        fdf = fdf.filter(F.col(pcol) >= lo_date)
 
             if view.aggregations:
                 fdf, ts_col, created = _apply_aggregations(
@@ -359,6 +380,19 @@ class FeatureStore:
         )
 
     # --------------------------------------------------------- materialization
+    def _materialized_frame(self, view, fdf: DataFrame):
+        """The frame a view materializes: aggregated values for views
+        with an Aggregation spec (reference feature_builder.py:69-72 —
+        the aggregate node sits in the materialization DAG too), raw
+        rows otherwise. The aggregate row's event timestamp is the
+        window end, renamed to the view's timestamp field."""
+        ts_col = view.timestamp_field
+        created = view.created_timestamp_column
+        if view.aggregations:
+            fdf, agg_ts, created = _apply_aggregations(fdf, view, ts_col)
+            fdf = fdf.withColumnRenamed(agg_ts, ts_col)
+        return fdf, ts_col, created
+
     def materialize(
         self,
         view_name: str,
@@ -400,16 +434,7 @@ class FeatureStore:
             if self.registry is not None and end is not None:
                 self.registry.apply_materialization(view_name, start, end)
             return MaterializationResult()
-        ts_col = view.timestamp_field
-        created = view.created_timestamp_column
-        if view.aggregations:
-            # a view with an Aggregation spec materializes AGGREGATED
-            # feature values, not raw rows (reference feature_builder.py:
-            # 69-72: aggregate node in the materialization DAG); the
-            # window-end becomes the event timestamp of the aggregate row
-            fdf, ts_col, created = _apply_aggregations(fdf, view, ts_col)
-            fdf = fdf.withColumnRenamed(ts_col, view.timestamp_field)
-            ts_col = view.timestamp_field
+        fdf, ts_col, created = self._materialized_frame(view, fdf)
         res = materialize_view(
             self.spark,
             fdf,
@@ -492,21 +517,22 @@ class FeatureStore:
         """Reference ``materialize`` also loads the online store
         (feature_store.py:1555 → passthrough_provider.py:593): push the
         view's latest-per-key rows in ``[start, end]`` into the
-        file-backed online snapshot. Returns rows pushed."""
+        file-backed online snapshot. Each view gets its OWN
+        ``{online_path}/{view_name}`` table — a shared flat snapshot
+        would be destroyed by the second view's overwrite, and
+        row-level latest-dedup across views with different feature
+        columns cannot be correct. Returns rows pushed."""
+        import os as _os
+
         from feast_spark.online import LocalOnlineStore
 
         view = self.get_feature_view(view_name)
-        fdf = self._build_view_df(view)
-        ts = view.timestamp_field
-        created = view.created_timestamp_column
-        if view.aggregations:
-            fdf, agg_ts, created = _apply_aggregations(fdf, view, ts)
-            fdf = fdf.withColumnRenamed(agg_ts, ts)
+        fdf, ts, created = self._materialized_frame(view, self._build_view_df(view))
         if start is not None:
             fdf = fdf.filter(F.col(ts) >= F.lit(start))
         if end is not None:
             fdf = fdf.filter(F.col(ts) <= F.lit(end))
-        return LocalOnlineStore(online_path).push_online(
+        return LocalOnlineStore(_os.path.join(online_path, view.name)).push_online(
             fdf, view.join_keys, ts, created
         )
 
@@ -518,29 +544,30 @@ class FeatureStore:
         *,
         now=None,
     ) -> DataFrame:
-        """Serve latest features for entity rows from the online
-        snapshot, honoring each view's TTL (reference
-        feature_store.py online path). ``features`` are the same
-        ``view:feature`` refs as historical retrieval; views sharing the
-        snapshot are looked up one by one and accumulated on the request
+        """Serve latest features for entity rows from the online store,
+        honoring each view's TTL (reference feature_store.py online
+        path). ``features`` are the same ``view:feature`` refs as
+        historical retrieval; each view reads its own
+        ``{online_path}/{view_name}`` snapshot (written by
+        ``materialize_online``) and results accumulate on the request
         keys."""
+        import os as _os
+
         from feast_spark.online import LocalOnlineStore
 
         if isinstance(features, FeatureService):
             features = list(features.features)
         if isinstance(entity_rows, pd.DataFrame):
             entity_rows = self.spark.createDataFrame(entity_rows)
-        store = LocalOnlineStore(online_path)
         out = entity_rows
         for view_name, wanted in _group_refs(features).items():
             view = self.get_feature_view(view_name)
+            store = LocalOnlineStore(_os.path.join(online_path, view.name))
             cols = wanted or view.feature_cols
             if cols is None:
-                # schema-less view: everything in the snapshot that is
-                # not a key or timestamp — NOT the raw snapshot row,
-                # which would drag event_timestamp/other views' columns
-                # into the output and collide
-                snap_cols = self.spark.read.parquet(online_path).columns
+                # schema-less view: everything in ITS OWN snapshot that
+                # is not a key or timestamp
+                snap_cols = self.spark.read.parquet(store.path).columns
                 excl = set(view.join_keys) | {
                     view.timestamp_field,
                     view.created_timestamp_column,

@@ -123,13 +123,26 @@ def rolling_agg(
     """Per-ROW trailing aggregation over ``[ts - lookback, ts]`` — the
     "feature value as of each event" shape used for training-data
     point-in-time features. ``rangeBetween`` on the epoch keeps it a
-    single window pass (no self-join)."""
-    upper = Window.currentRow if include_current else -1
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(_ts_seconds(ts_col))
-        .rangeBetween(-int(lookback_seconds), upper)
-    )
+    single window pass (no self-join).
+
+    ``include_current=False`` means "strictly earlier events only": the
+    range runs over epoch MICROseconds with upper bound -1µs, so only
+    rows with the *identical* timestamp are excluded (a same-second but
+    strictly-earlier 10:00:00.2 event still counts for a 10:00:00.8 row
+    — an upper bound of -1 whole second dropped it). The inclusive path
+    keeps whole-second flooring, which the cross-engine oracle pins."""
+    if include_current:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(_ts_seconds(ts_col))
+            .rangeBetween(-int(lookback_seconds), Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+            .rangeBetween(-int(lookback_seconds) * 1_000_000, -1)
+        )
     out = df
     for fn, col in aggs:
         out = out.withColumn(

@@ -467,10 +467,9 @@ def test_materialize_aggregated_view(spark, tmp_path):
     # online push of the same aggregated view serves the LATEST window
     online = str(tmp_path / "aggonline")
     store.materialize_online("agg_view", online)
-    req = datagen.to_spark(spark, pd.DataFrame({"doc_id": ["a", "b"]}))
+    req = pd.DataFrame({"doc_id": ["a", "b"]})
     served = (
-        LocalOnlineStore(online)
-        .get_online_features(spark, req, ["doc_id"], ["sum_val_86400s"])
+        store.get_online_features(["agg_view:sum_val_86400s"], req, online)
         .toPandas()
         .set_index("doc_id")["sum_val_86400s"]
     )
@@ -483,3 +482,173 @@ def test_to_remote_storage_returns_file_list(spark, tmp_path, store_with_view):
     files = job.to_remote_storage(str(tmp_path / "staged"))
     assert files and all(f.endswith(".parquet") for f in files)
     assert spark.read.parquet(str(tmp_path / "staged")).count() == 20
+
+
+def test_materialize_online_two_views_shared_root(spark, tmp_path):
+    """Two views materialized under one online root must not clobber each
+    other (per-view sub-snapshots; code-review finding r2b)."""
+    ts0 = pd.Timestamp("2024-01-01")
+    store = FeatureStore(spark)
+    for name, col, vals in (("va", "f1", [1.0, 2.0]), ("vb", "f2", [10.0, 20.0])):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ["a", "b"],
+                "event_timestamp": [ts0, ts0],
+                col: vals,
+            }
+        )
+        store.apply(
+            [
+                FeatureView(
+                    name=name,
+                    source=DataFrameSource(df=datagen.to_spark(spark, pdf)),
+                    entities=[Entity("doc_id")],
+                )
+            ]
+        )
+    root = str(tmp_path / "online_root")
+    store.materialize_online("va", root)
+    store.materialize_online("vb", root)
+    got = (
+        store.get_online_features(["va:f1", "vb:f2"], pd.DataFrame({"doc_id": ["a", "b"]}), root)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc["a", "f1"] == 1.0 and got.loc["a", "f2"] == 10.0
+    assert got.loc["b", "f1"] == 2.0 and got.loc["b", "f2"] == 20.0
+
+
+def test_ttl_infinite_view_not_partition_pruned(spark, tmp_path):
+    """ttl=None (infinite) must serve arbitrarily old features even from
+    a date-partitioned source (code-review finding r2b: the partition
+    lower bound used to apply unconditionally)."""
+    from feast_spark.core.source import ParquetSource
+
+    old_ts = pd.Timestamp("2020-01-01")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"],
+            "event_timestamp": [old_ts],
+            "pday": [old_ts.date()],
+            "val": [42.0],
+        }
+    )
+    src = str(tmp_path / "psrc")
+    df = datagen.to_spark(spark, pdf).withColumn("pday", F.to_date("event_timestamp"))
+    df.write.partitionBy("pday").parquet(src)
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="oldv",
+                source=ParquetSource(src, date_partition_column="pday"),
+                entities=[Entity("doc_id")],
+                ttl=None,
+            )
+        ]
+    )
+    spine = pd.DataFrame(
+        {"doc_id": ["a"], "event_timestamp": [pd.Timestamp("2024-06-01")]}
+    )
+    got = store.get_historical_features(
+        datagen.to_spark(spark, spine), ["oldv:val"]
+    ).to_df()
+    assert got["val"].tolist() == [42.0]
+
+
+def test_windowed_agg_prune_does_not_truncate_window(spark):
+    """Spine-bounds pruning must widen by the aggregation window: rows
+    older than spine_min - ttl can still belong to a joinable window
+    (code-review finding r2b)."""
+    from feast_spark.core.feature_view import Aggregation
+
+    ts0 = pd.Timestamp("2024-01-10 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a", "a"],
+            # both rows inside the SAME 24h window [Jan 9 00:00, Jan 10);
+            # the first is far before spine_min - ttl
+            "event_timestamp": [
+                pd.Timestamp("2024-01-09 01:00:00"),
+                pd.Timestamp("2024-01-09 23:00:00"),
+            ],
+            "val": [5.0, 7.0],
+        }
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="wagg",
+                source=DataFrameSource(df=datagen.to_spark(spark, rows)),
+                entities=[Entity("doc_id")],
+                ttl=timedelta(hours=2),
+                aggregations=[Aggregation("val", "sum", time_window=timedelta(days=1))],
+            )
+        ]
+    )
+    # spine at Jan 10 01:00 -> joinable window end Jan 10 00:00 (within
+    # 2h ttl); its true sum is 5 + 7 = 12
+    spine = pd.DataFrame({"doc_id": ["a"], "event_timestamp": [ts0 + pd.Timedelta(hours=1)]})
+    got = store.get_historical_features(
+        datagen.to_spark(spark, spine), ["wagg:sum_val_86400s"]
+    ).to_df()
+    assert got["sum_val_86400s"].tolist() == [12.0]
+
+
+def test_plain_agg_view_skips_pruning(spark):
+    """Whole-history (non-windowed) aggregates must not be computed over
+    a pruned input — the sum covers ALL history."""
+    from feast_spark.core.feature_view import Aggregation
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 3,
+            "event_timestamp": pd.to_datetime(
+                ["2020-01-01", "2022-01-01", "2024-01-01"]
+            ),
+            "val": [1.0, 2.0, 4.0],
+        }
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        [
+            FeatureView(
+                name="hist",
+                source=DataFrameSource(df=datagen.to_spark(spark, rows)),
+                entities=[Entity("doc_id")],
+                ttl=timedelta(days=30),
+                aggregations=[Aggregation("val", "sum")],
+            )
+        ]
+    )
+    spine = pd.DataFrame(
+        {"doc_id": ["a"], "event_timestamp": [pd.Timestamp("2024-01-15")]}
+    )
+    got = store.get_historical_features(
+        datagen.to_spark(spark, spine), ["hist:sum_val"]
+    ).to_df()
+    assert got["sum_val"].tolist() == [7.0]
+
+
+def test_rolling_agg_exclusive_keeps_same_second_history(spark):
+    """include_current=False excludes only identical timestamps, not the
+    whole current second (code-review finding r2b)."""
+    from feast_spark.operators.windows import rolling_agg
+
+    rows = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00.200", 1.0),
+            ("a", "2024-01-01 10:00:00.800", 2.0),
+        ],
+        "doc_id string, ts_str string, val double",
+    ).select("doc_id", F.to_timestamp("ts_str").alias("ts"), "val")
+    got = (
+        rolling_agg(rows, ["doc_id"], "ts", [("sum", "val")], 3600, include_current=False)
+        .toPandas()
+        .sort_values("ts")
+    )
+    # first row: no earlier events; second row: the strictly-earlier
+    # same-second event must count
+    assert pd.isna(got["sum_val_trailing3600s"].iloc[0])
+    assert got["sum_val_trailing3600s"].iloc[1] == 1.0
