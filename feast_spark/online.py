@@ -45,17 +45,21 @@ class LocalOnlineStore:
     ) -> int:
         """Materialize the latest row per entity into the online
         snapshot, bucketed by key hash for pruned point lookups."""
-        latest = latest_row_dedup(df, list(join_keys), ts_col, created_col)
-        bucketed = latest.withColumn(
-            "__bucket", F.pmod(F.hash(*join_keys), F.lit(N_BUCKETS))
-        )
-        (
-            bucketed.repartition(N_BUCKETS, "__bucket")
-            .write.mode(mode)
-            .partitionBy("__bucket")
-            .parquet(self.path)
-        )
-        return latest.count()
+        latest = latest_row_dedup(df, list(join_keys), ts_col, created_col).persist()
+        try:
+            bucketed = latest.withColumn(
+                "__bucket", F.pmod(F.hash(*join_keys), F.lit(N_BUCKETS))
+            )
+            (
+                bucketed.repartition(N_BUCKETS, "__bucket")
+                .write.mode(mode)
+                .partitionBy("__bucket")
+                .parquet(self.path)
+            )
+            # count from the cache — not a second run of the dedup shuffle
+            return latest.count()
+        finally:
+            latest.unpersist()
 
     def push(
         self,
@@ -77,15 +81,25 @@ class LocalOnlineStore:
             # instead of silently dropping the new data
             df = existing.unionByName(df, allowMissingColumns=True)
         # stage through a temp path: the overwrite must not read from the
-        # directory it is replacing
+        # directory it is replacing. Swap order is crash-safe: the OLD
+        # snapshot is moved aside (one atomic rename) before the staged
+        # one moves in, so a crash mid-swap leaves the data recoverable
+        # in `.__push_old` instead of destroyed (rmtree-then-rename had a
+        # window where the store was simply gone).
         tmp = self.path.rstrip("/") + ".__push_tmp"
+        old = self.path.rstrip("/") + ".__push_old"
         staged = LocalOnlineStore(tmp)
         n = staged.push_online(df, join_keys, ts_col, created_col)
         import shutil
 
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        had_old = os.path.isdir(self.path)
+        if had_old:
+            os.replace(self.path, old)
         os.replace(tmp, self.path)
+        if had_old:
+            shutil.rmtree(old)
         return n
 
     def get_online_features(

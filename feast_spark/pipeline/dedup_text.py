@@ -20,6 +20,13 @@ Four families, all DataFrame-native (no per-row Python):
 The portable hash (text.portable_hash64) keeps signatures identical
 across engines, so DuckDB can serve as an independent oracle for the
 signature computation itself.
+
+Caching note: the pair-finding functions persist intermediate frames
+(postings, banded signatures, candidates) that the RETURNED lazy plan
+still references — they cannot be unpersisted inside the function.
+Blocks are MEMORY_AND_DISK and LRU-evictable; batch drivers running
+many corpora per session should `spark.catalog.clearCache()` between
+jobs (bench.py does).
 """
 
 from __future__ import annotations
@@ -120,29 +127,44 @@ def ngram_jaccard_pairs(
     # instead of shingle strings measured ~1.6x faster on the pair-count
     # aggregation; a 64-bit collision would merge two shingles (P ~ n^2 /
     # 2^65 — negligible even at 10^9 distinct shingles)
-    sh = (
+    raw = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
         )
         .select("id", F.xxhash64("__s").alias("shingle"))
-        .persist()  # reused by sizes + both sides of the self-join
+        .persist()
     )
+    sh = raw
+    if max_doc_freq:
+        # hot-shingle pruning happens BEFORE sizes, the dense gate, and
+        # the self-join, so every downstream quantity (|A|, |B|, |A∩B|,
+        # dense or posting path) is computed over the SAME pruned shingle
+        # space — sizes over unpruned sets with intersections over pruned
+        # ones would systematically deflate Jaccard and silently drop
+        # true near-duplicates
+        hot = (
+            raw.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = raw.join(F.broadcast(hot), "shingle", "left_anti").persist()
     counts = sh.agg(
         F.countDistinct("shingle").alias("nv"), F.countDistinct("id").alias("nd")
     ).first()
     n_vocab, n_docs = counts["nv"], counts["nd"]
     if n_vocab <= gram_vocab_limit and n_docs * n_vocab * 4 <= dense_budget_bytes:
-        return _jaccard_gram(sh, n_vocab, threshold)
+        out = _jaccard_gram(sh, n_vocab, threshold)
+        # _jaccard_gram collects its input eagerly — the returned plan
+        # only references the broadcast matrix, so the postings cache can
+        # be dropped now (the posting-join path must keep it: the caller's
+        # lazy plan still reads it)
+        sh.unpersist()
+        if sh is not raw:
+            raw.unpersist()
+        return out
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    if max_doc_freq:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -422,7 +444,15 @@ def simhash_pairs(
     pigeonhole block trick: split the hash into ``blocks`` segments —
     any pair within distance k < blocks shares at least one exact
     segment, so candidates come from equi-joins on segments (linear
-    index build, no all-pairs)."""
+    index build, no all-pairs). ``max_hamming >= blocks`` voids that
+    guarantee (a pair can differ in every segment) — rejected rather
+    than silently returning an incomplete pair set."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks}) — raise "
+            "blocks to keep the no-false-negative guarantee"
+        )
     seg_bits = bits // blocks
     mask = (1 << seg_bits) - 1
     sh = simhash(df, id_col, text_col, bits).filter(F.col("simhash").isNotNull())

@@ -263,4 +263,22 @@ def kmeans(
             centroids = new_c
             break
         centroids = new_c
+    # final E-step so the returned assignments are consistent with the
+    # RETURNED centroids (when the loop exhausts `iters` without
+    # converging, the in-loop assign_df was computed against the
+    # previous centroid set)
+    bc_final = spark.sparkContext.broadcast(centroids)
+
+    def assign_final(batches):
+        c = bc_final.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d = ((m * m).sum(1)[:, None] - 2 * (m @ c.T) + (c * c).sum(1)[None, :])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": d.argmin(1).astype(np.int32)}
+            )
+
+    assign_df = base.mapInPandas(assign_final, out_schema)
     return assign_df, [list(map(float, c)) for c in centroids]

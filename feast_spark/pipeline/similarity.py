@@ -105,13 +105,24 @@ def brute_force_topk(
     # shipped to Python is O(corpus + Q*k*batches), never the Q x N
     # pair table (the crossJoin formulation moved 2M pairs of 64-float
     # arrays through Arrow; this moves 2k rows).
+    from pyspark.sql import types as T
+
     q_rows = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     ).collect()  # bounded: the broadcast-side query set
     if not q_rows:
-        return queries.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank long, cosine double"
+        # schema must match the non-empty path exactly (actual id types,
+        # rank from row_number is int) — a hardcoded long schema breaks
+        # unions/joins only in the empty-input case
+        empty_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id].dataType),
+                T.StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
         )
+        return queries.sparkSession.createDataFrame([], empty_schema)
     qids = np.array([r["query_id"] for r in q_rows])
     qmat = np.stack([np.asarray(r["__qv"], dtype=np.float64) for r in q_rows])
     qnorm = np.linalg.norm(qmat, axis=1)

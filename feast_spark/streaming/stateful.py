@@ -38,8 +38,10 @@ def stateful_sessionize(
     the final session stays open until more data or query end).
     """
     keys = list(keys)
+    # key columns keep their ACTUAL input types (an int64 entity id
+    # declared as string would fail Arrow serialization on first batch)
     out_ddl = (
-        ", ".join(f"{k} string" for k in keys)
+        ", ".join(f"{k} {stream.schema[k].dataType.simpleString()}" for k in keys)
         + ", session_start timestamp, session_end timestamp, n_events long"
     )
     state_ddl = "start timestamp, end timestamp, n long"
@@ -69,7 +71,10 @@ def stateful_sessionize(
                 closed.append((*key, cur[0], cur[1], cur[2]))
                 cur = [t, t, 1]
             else:
-                cur[1] = t
+                # late (cross-batch out-of-order) events may precede the
+                # open session's bounds — extend, never shrink
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
                 cur[2] += 1
         if cur is not None:
             state.update((cur[0], cur[1], int(cur[2])))

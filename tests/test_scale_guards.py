@@ -58,3 +58,34 @@ def test_exact_embedding_dups_enforces_bound(spark):
     # under the bound it still runs
     out = embedding_dup_pairs(df, threshold=0.999, exact=True, max_exact_rows=100)
     assert out.count() >= 0
+
+
+def test_max_doc_freq_prunes_consistently(spark):
+    """Sizes and intersections must be computed over the SAME pruned
+    shingle space: identical docs stay jaccard=1.0 even when most of
+    their shingles are pruned as hot (third review pass finding)."""
+    # 'common alpha beta' bigrams appear in every doc (hot); the twin
+    # docs additionally share unique content
+    twins = "unique gamma delta epsilon zeta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "text": [f"common alpha beta filler{i}" for i in range(10)]
+            + [f"common alpha beta {twins}", f"common alpha beta {twins}"],
+        }
+    )
+    df = datagen.to_spark(spark, pdf)
+    out = dedup_text.ngram_jaccard_pairs(
+        df, n=2, threshold=0.99, max_doc_freq=5, dense_budget_bytes=1
+    ).toPandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert ("10", "11") in pairs or (10, 11) in pairs, out
+    row = out[(out["id_a"].astype(str) == "10")].iloc[0]
+    assert row["jaccard"] == 1.0
+
+
+def test_simhash_pairs_rejects_bad_blocking(spark):
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["hello world"]})
+    df = datagen.to_spark(spark, pdf)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup_text.simhash_pairs(df, max_hamming=4, blocks=4)
