@@ -1,9 +1,11 @@
 """spark-submit entrypoint for cluster runs.
 
-Usage (cluster)::
+Usage (cluster) — spark-submit takes a primary SCRIPT (it has no -m
+module flag), so ship the package zip and point it at this file::
 
     zip -r feast_spark.zip feast_spark
-    spark-submit --py-files feast_spark.zip -m feast_spark.cli ...
+    spark-submit --py-files feast_spark.zip feast_spark/cli.py \
+        materialize --source ... --out ... --keys doc_id
 
 or locally::
 

@@ -17,16 +17,6 @@ retrieval (read a pinned snapshot-id while backfills append).
 
 from __future__ import annotations
 
-ICEBERG_CATALOG_CONF = {
-    "spark.sql.catalog.{name}": "org.apache.iceberg.spark.SparkCatalog",
-    "spark.sql.catalog.{name}.type": "hive",
-    "spark.sql.catalog.{name}.handle-timestamp-without-timezone": "true",
-    "spark.sql.extensions": (
-        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
-    ),
-}
-
-
 def iceberg_session_conf(
     catalog_name: str = "feast",
     warehouse: str | None = None,

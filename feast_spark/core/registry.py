@@ -42,11 +42,18 @@ def _ts(v) -> str:
     """Normalize any accepted timestamp spelling (datetime, pandas
     Timestamp, ISO string, bare date string) to one canonical format —
     strings are parsed, not passed through, so interval reads can never
-    hit an unparseable stored value."""
+    hit an unparseable stored value. Timezone-aware values are converted
+    to UTC before the tzinfo is dropped (stored times are naive-UTC, the
+    same convention as the engine's session clock) — plain strftime
+    would store foreign wall-clock time and shift incremental windows."""
     if isinstance(v, str):
         v = datetime.fromisoformat(v)
     if hasattr(v, "to_pydatetime"):
         v = v.to_pydatetime()
+    if v.tzinfo is not None:
+        from datetime import timezone
+
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
     return v.strftime(_ISO)
 
 
@@ -117,6 +124,12 @@ def view_to_dict(view: FeatureView) -> dict:
         ],
         "filter_expr": view.filter_expr,
         "sort_keys": [list(k) for k in getattr(view, "sort_keys", ())],
+        "watermark_delay": getattr(view, "watermark_delay", None),
+        "stream_source": (
+            getattr(view, "stream_source", None)
+            if isinstance(getattr(view, "stream_source", None), (dict, type(None)))
+            else "__non_serializable__"
+        ),
         "source": _source_to_dict(view.source),
         # python-object state that cannot serialize declaratively;
         # SQL-string udfs ARE declarative and round-trip
@@ -130,7 +143,12 @@ def view_to_dict(view: FeatureView) -> dict:
 
 def view_from_dict(d: dict) -> FeatureView:
     src = _source_from_dict(d["source"])
-    restorable = src is not None and not d.get("has_udf") and not d.get("source_views")
+    restorable = (
+        src is not None
+        and not d.get("has_udf")
+        and not d.get("source_views")
+        and d.get("stream_source") != "__non_serializable__"
+    )
     if not restorable:
         raise ValueError(
             f"feature view {d['name']!r} is registered but not restorable from "
@@ -160,6 +178,14 @@ def view_from_dict(d: dict) -> FeatureView:
     if d.get("type") == "SortedFeatureView":
         return SortedFeatureView(
             **common, sort_keys=[tuple(k) for k in d.get("sort_keys", [])]
+        )
+    if d.get("type") == "StreamFeatureView":
+        from feast_spark.core.feature_view import StreamFeatureView
+
+        return StreamFeatureView(
+            **common,
+            stream_source=d.get("stream_source"),
+            watermark_delay=d.get("watermark_delay"),
         )
     return FeatureView(**common)
 

@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 _FILE_FORMATS = {"csv", "json", "parquet", "delta", "avro", "orc"}
 
 
+def apply_field_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Rename source columns to feature names, REJECTING mappings that
+    would produce duplicate column names (two sources mapped to one
+    target, or a target colliding with an unmapped column) — otherwise
+    the failure surfaces later as an AMBIGUOUS_REFERENCE deep inside a
+    join, far from the misconfigured source."""
+    out_names = [mapping.get(c, c) for c in df.columns]
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"field_mapping produces duplicate column names {dupes} "
+            f"(mapping={mapping})"
+        )
+    return df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
 @dataclass
 class SparkSource:
     """Base source. Exactly one of ``path``, ``table``, ``query`` set."""
@@ -57,9 +73,7 @@ class SparkSource:
         else:
             df = spark.sql(self.query)
         if self.field_mapping:
-            df = df.select(
-                *[F.col(c).alias(self.field_mapping.get(c, c)) for c in df.columns]
-            )
+            df = apply_field_mapping(df, self.field_mapping)
         return df
 
 
@@ -90,7 +104,5 @@ class DataFrameSource:
     def load(self, spark: SparkSession) -> DataFrame:
         df = self.df
         if self.field_mapping:
-            df = df.select(
-                *[F.col(c).alias(self.field_mapping.get(c, c)) for c in df.columns]
-            )
+            df = apply_field_mapping(df, self.field_mapping)
         return df

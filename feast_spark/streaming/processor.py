@@ -94,13 +94,22 @@ class StreamProcessor:
     # ------------------------------------------------------------ transforms
     def prepare(self, df: DataFrame) -> DataFrame:
         """Field-map renames + column pruning + watermark (reference
-        :302-336 for rename/prune)."""
+        :302-336 for rename/prune). ``udf`` may be a callable or a
+        SQL string with an ``{input}`` placeholder (the same contract
+        as batch views — streaming temp views compose with spark.sql)."""
         if self.field_mapping:
-            df = df.select(
-                *[F.col(c).alias(self.field_mapping.get(c, c)) for c in df.columns]
-            )
+            from feast_spark.core.source import apply_field_mapping
+
+            df = apply_field_mapping(df, self.field_mapping)
         if self.udf is not None:
-            df = self.udf(df)
+            if isinstance(self.udf, str):
+                import uuid
+
+                name = f"__stream_input_{uuid.uuid4().hex[:8]}"
+                df.createOrReplaceTempView(name)
+                df = df.sparkSession.sql(self.udf.replace("{input}", name))
+            else:
+                df = self.udf(df)
         if self.keep_columns:
             df = df.select(*self.keep_columns)
         if self.watermark_delay:
@@ -220,7 +229,7 @@ def stream_enrich(
     sink=None,
     checkpoint_location: str | None = None,
     available_now: bool = False,
-    query_name: str = "stream_enrich",
+    query_name: str | None = None,
 ):
     """Stream-side feature enrichment: PIT-join each micro-batch of the
     stream (as the spine) against a batch feature table, then hand the
@@ -253,6 +262,12 @@ def stream_enrich(
         if sink is not None:
             sink(enriched, batch_id)
 
+    if query_name is None:
+        # unique default: two concurrent enrich streams in one session
+        # must not collide on the query name
+        import uuid
+
+        query_name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     writer = stream_df.writeStream.queryName(query_name).foreachBatch(process)
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)

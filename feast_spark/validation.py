@@ -47,9 +47,17 @@ class ValidationProfile:
             elif e.kind == "distinct_at_least":
                 aggs.append(F.countDistinct(e.column).cast("double").alias(f"__m{i}"))
             elif e.kind == "unique_key":
+                # struct-wrap so rows with NULL key components still count
+                # (bare countDistinct drops any row with a null column and
+                # falsely reports duplicates on unique data)
                 aggs.append(
-                    F.countDistinct(*[F.col(c) for c in e.columns]).cast("double").alias(f"__m{i}")
+                    F.countDistinct(F.struct(*[F.col(c) for c in e.columns]))
+                    .cast("double")
+                    .alias(f"__m{i}")
                 )
+            elif e.kind not in ("row_count_min", "row_count_max"):
+                # fail fast BEFORE the distributed aggregation runs
+                raise ValueError(f"unknown expectation kind {e.kind!r}")
         row = df.agg(*aggs).first()
         n = row["__n"]
         results = []

@@ -652,3 +652,63 @@ def test_rolling_agg_exclusive_keeps_same_second_history(spark):
     # same-second event must count
     assert pd.isna(got["sum_val_trailing3600s"].iloc[0])
     assert got["sum_val_trailing3600s"].iloc[1] == 1.0
+
+
+def test_field_mapping_duplicate_rejected(spark):
+    from feast_spark.core.source import DataFrameSource, apply_field_mapping
+
+    df = spark.createDataFrame([(1, 2)], "a int, event_timestamp int")
+    with pytest.raises(ValueError, match="duplicate column"):
+        apply_field_mapping(df, {"a": "event_timestamp"})
+    src = DataFrameSource(df=df, field_mapping={"a": "event_timestamp"})
+    with pytest.raises(ValueError, match="duplicate column"):
+        src.load(spark)
+
+
+def test_registry_stream_view_roundtrip(tmp_path):
+    from feast_spark.core.feature_view import StreamFeatureView
+    from feast_spark.core.registry import FileRegistry
+    from feast_spark.core.source import ParquetSource
+
+    reg = FileRegistry(str(tmp_path / "r.json"))
+    reg.apply_view(
+        StreamFeatureView(
+            name="sv",
+            source=ParquetSource("/tmp/x"),
+            entities=[Entity("doc_id")],
+            stream_source={"topic": "events"},
+            watermark_delay="30 seconds",
+        )
+    )
+    back = FileRegistry(str(tmp_path / "r.json")).load_view("sv")
+    assert isinstance(back, StreamFeatureView)
+    assert back.watermark_delay == "30 seconds"
+    assert back.stream_source == {"topic": "events"}
+
+
+def test_registry_tz_aware_interval_normalized_to_utc(tmp_path):
+    from feast_spark.core.registry import FileRegistry
+
+    reg = FileRegistry(str(tmp_path / "r.json"))
+    plus2 = timezone(timedelta(hours=2))
+    reg.apply_materialization("v", None, datetime(2024, 1, 2, 0, 30, tzinfo=plus2))
+    # 00:30+02:00 == 2024-01-01 22:30 UTC — stored naive-UTC
+    assert reg.latest_materialization_end("v") == datetime(2024, 1, 1, 22, 30)
+
+
+def test_validation_unique_key_with_null_keys(spark):
+    from feast_spark.validation import Expect, ValidationProfile
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), (None, 3.0)], "k string, v double"
+    )
+    rep = ValidationProfile([Expect("unique_key", columns=["k"])]).validate(df)
+    assert rep["passed"], rep  # three unique rows, one with a NULL key
+
+
+def test_validation_unknown_kind_fails_fast(spark):
+    from feast_spark.validation import Expect, ValidationProfile
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        ValidationProfile([Expect("row_cnt_min", value=1)]).validate(df)
