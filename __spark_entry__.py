@@ -534,7 +534,7 @@ def _minhash_oracle():
     )
     return rf"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') nt FROM documents
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
 ), words AS (
   SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
 ), sh AS (
@@ -595,7 +595,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 _NGRAM_JACCARD_ORACLE = r"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') nt FROM documents
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
 ), words AS (
   SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
 ), sh AS (
@@ -1420,13 +1420,21 @@ def q_kmeans_clusters(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     cent_rows = (
-        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
     )
+    cent_ids = [int(r["vec_id"]) for r in cent_rows]
     centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
     out = assign_clusters(emb, centroids)
+    # label clusters by the CENTROID's vec_id (what the oracle emits), not
+    # the centroid-list index — identical when ids 0..7 all exist, and
+    # still correct for sparse/non-contiguous id spaces
+    id_map = F.array(*[F.lit(i) for i in cent_ids])
     return out.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("cluster").cast("long").alias("cluster"),
+        F.element_at(id_map, F.col("cluster") + 1).cast("long").alias("cluster"),
     )
 
 

@@ -43,9 +43,11 @@ def _noop_write(df) -> None:
 
 
 def headline_job(spark) -> tuple[float, int]:
-    """PIT as-of join (merge_asof scale path) of the spine against the
-    token-sequence table + windowed feature engineering, materialized.
-    Returns (seconds, spine_rows)."""
+    """PIT as-of join (strategy $BENCH_STRATEGY, default join_dedup —
+    the Catalyst conditional-join path; merge_asof is the opt-in
+    hot-key-fan-out variant) of the spine against the token-sequence
+    table + windowed feature engineering, materialized. Returns
+    (seconds, spine_rows)."""
     from pyspark.sql import functions as F
 
     from feast_spark.datagen import spark_entity_spine, spark_token_sequences
@@ -109,7 +111,7 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "seq/sec",
                 "queries": timings,
-                "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+                "sf": 0.1 if SF_DIR.rstrip("/").endswith("sf0.1") else SF_DIR,
                 "headline_rows": rows,
                 "cpus": CPUS,
             }

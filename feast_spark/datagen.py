@@ -157,7 +157,14 @@ def global_stats(days: int = 14, seed: int = 17) -> pd.DataFrame:
 
 def to_spark(spark, pdf: pd.DataFrame):
     """Create a Spark DataFrame with the canonical schema (tokens as
-    array<int>, tz-aware UTC timestamps → TimestampType)."""
+    array<int>, tz-aware UTC timestamps → TimestampType).
+
+    NOTE: timestamps are handed to Spark as naive wall-times meaning
+    UTC — the receiving session MUST have
+    ``spark.sql.session.timeZone=UTC`` (engine sessions from
+    ``get_spark`` do; ``__spark_entry__._prep`` pins driver sessions).
+    A non-UTC session would reinterpret the wall-times and shift every
+    instant."""
     from pyspark.sql import types as T
 
     fields = []

@@ -38,12 +38,17 @@ def run_level(cpus: int, repeat: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"child at cpus={cpus} failed (rc={out.returncode});\n"
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     lo = run_level(n, repeat)
     hi = run_level(4 * n, repeat)

@@ -81,6 +81,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query names: {sorted(unknown)}")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -99,12 +103,18 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             failures += 1
             continue
-        problems = compare(name, got, exp)
+        try:
+            problems = compare(name, got, exp)
+        except Exception as ex:  # dtype mismatch etc. — record, don't abort
+            problems = [f"compare error: {ex}"]
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
             print(f"OK   {name}: {len(got)} rows")
+        # queries persist() intermediates their lazy plans own; drop them
+        # between queries (same hazard bench.py clears)
+        spark.catalog.clearCache()
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
