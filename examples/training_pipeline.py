@@ -64,13 +64,25 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     kept = exact_dedup_docs(kept)
     stats["after_exact_dedup"] = kept.count()
     near = lsh_candidate_pairs(kept, num_hashes=16, bands=8, shingle_n=2, threshold=0.6)
-    groups = dedup_groups_from_pairs(kept, near)  # transitive closure
+    groups = dedup_groups_from_pairs(kept, near).persist()  # transitive closure
     kept = kept.join(groups.filter("keep").select("doc_id"), on="doc_id", how="left_semi")
     stats["after_near_dedup"] = kept.count()
 
-    # 2b. deterministic (rerun-stable) subsample for the mixture budget
-    kept = deterministic_sample(kept, 0.9)
+    # 2b. deterministic (rerun-stable) subsample for the mixture budget;
+    # persist — several counts and the staging write below reuse `kept`,
+    # and the curation DAG above is expensive to replay
+    kept = deterministic_sample(kept, 0.9).persist()
     stats["after_sampling"] = kept.count()
+
+    # 2c. leakage-safe train/test split BY DEDUP GROUP (reusing the
+    # components from step 2 — no second connected-components run). The
+    # split gates the packed training blocks below: test-group documents
+    # must never reach a training block.
+    split = leakage_safe_split(kept, near, test_frac=0.1, groups=groups)
+    stats["split"] = {
+        r["split"]: r["count"] for r in split.groupBy("split").count().collect()
+    }
+    train_ids = split.filter("split = 'train'").select("doc_id")
 
     # 3. tokenize → token-sequence feature table (synthetic event times:
     #    deterministic offsets; real pipelines carry ingestion times)
@@ -126,9 +138,12 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     feats.write.mode("overwrite").parquet(train_path)
     stats["training_rows"] = spark.read.parquet(train_path).count()
 
-    # 6. pack retrieved sequences into fixed-budget training blocks
+    # 6. pack retrieved sequences into fixed-budget training blocks —
+    # TRAIN-side documents only (the step-2c split gates packing, so
+    # test-group content never lands in a training block)
     packed = pack_sequences(
         spark.read.parquet(train_path)
+        .join(train_ids, on="doc_id", how="left_semi")
         .filter(F.col("feat_n_tok").isNotNull())
         .select(
             "doc_id", "event_timestamp",
@@ -144,16 +159,7 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     stats["training_blocks"] = bdf.count()
     stats["packed_tokens"] = bdf.agg(F.sum("n_tokens")).first()[0]
 
-    # 7. leakage-safe train/test split: near-duplicate GROUPS (not raw
-    #    ids) decide the side, so test content never leaks into train
-    #    through a near-copy
-    split = leakage_safe_split(kept, near, test_frac=0.1)
-    stats["split"] = {
-        r["split"]: r["count"]
-        for r in split.groupBy("split").count().collect()
-    }
-
-    # 8. durable registry + saved dataset: a later session can restore
+    # 7. durable registry + saved dataset: a later session can restore
     #    the view, continue materialization incrementally, and fetch the
     #    training set by name with its metadata
     store = FeatureStore(spark, registry_path=os.path.join(out_dir, "registry.json"))
@@ -174,7 +180,7 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     )
     stats["saved_dataset_rows"] = ds.metadata.row_count
 
-    # 9. serving log with a frozen schema contract (training/serving
+    # 8. serving log with a frozen schema contract (training/serving
     #    skew analysis replays exactly what was served)
     logger = FeatureLogger(os.path.join(out_dir, "serving_log"))
     logger.log(

@@ -92,8 +92,15 @@ class FeatureView:
         if self.aggregations:
             return [a.output_name for a in self.aggregations]
         if self.schema:
-            keys = set(self.join_keys)
-            return [f.name for f in self.schema if f.name not in keys]
+            # exclude keys AND the timestamp columns — a Feast-style
+            # schema routinely declares them, but they are join
+            # machinery, not features (the inferred path and the online
+            # fallback already exclude them)
+            excl = set(self.join_keys) | {
+                self.timestamp_field,
+                self.created_timestamp_column,
+            }
+            return [f.name for f in self.schema if f.name not in excl]
         return None  # infer from source at build time
 
     @property

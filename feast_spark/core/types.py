@@ -90,7 +90,16 @@ def spark_to_value_type(dt: T.DataType) -> ValueType:
     types; map/struct/interval are unsupported (as in the reference)."""
     if isinstance(dt, T.ArrayType):
         elem = spark_to_value_type(dt.elementType)
-        return ValueType[f"{elem.name}_LIST"]
+        try:
+            return ValueType[f"{elem.name}_LIST"]
+        except KeyError:
+            # nested arrays (array<array<T>>) have no value type — keep
+            # the function's ValueError contract instead of a bare
+            # KeyError from the enum lookup
+            raise ValueError(
+                f"Spark type {dt.simpleString()!r} has no value-type "
+                "mapping (nested arrays unsupported, as in reference)"
+            ) from None
     if isinstance(dt, T.DecimalType):
         return ValueType.DOUBLE
     name = dt.typeName()

@@ -32,9 +32,16 @@ def write_bucketed_feature_table(
 ) -> None:
     """Persist features bucketed by entity keys and sorted by
     (keys, ts) within each bucket — the co-located layout for
-    shuffle-free PIT joins and linear in-bucket merges."""
+    shuffle-free PIT joins and linear in-bucket merges.
+
+    The input is repartitioned to the bucket keys FIRST: without it,
+    every input partition emits its own file per bucket (M×N files,
+    each only internally sorted), and Spark drops the bucket-sort
+    metadata when a bucket spans multiple files — silently re-inserting
+    the Sort this layout exists to avoid."""
     (
-        df.write.mode(mode)
+        df.repartition(n_buckets, *join_keys)
+        .write.mode(mode)
         .bucketBy(n_buckets, *join_keys)
         .sortBy(*join_keys, ts_col)
         .format("parquet")

@@ -37,9 +37,24 @@ _DECOMPOSABLE = {
 
 
 def with_salt(df: DataFrame, salt_col: str = "__salt", shards: int = 16, on: str | None = None) -> DataFrame:
-    """Deterministic salt column: ``pmod(hash(on or all-cols), shards)``."""
-    src = F.col(on) if on else F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns])
-    return df.withColumn(salt_col, F.pmod(F.hash(src), F.lit(shards)))
+    """Salt column in ``[0, shards)``.
+
+    With ``on`` set: deterministic ``pmod(hash(on), shards)`` — use a
+    high-cardinality column. Default (no ``on``): row-content hash PLUS
+    a per-row position component, because a hot key's rows are often
+    byte-identical (replayed logs, idempotent re-ingestion) and a pure
+    content hash would send every copy to ONE shard — the exact skew
+    salting exists to break. Salting is a physical spreading concern
+    only: the two-phase aggregation is correct for any shard
+    assignment, so the positional component being
+    partition-layout-dependent is harmless."""
+    if on:
+        src = F.hash(F.col(on))
+    else:
+        src = F.hash(
+            F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns])
+        ) + F.monotonically_increasing_id()
+    return df.withColumn(salt_col, F.pmod(src, F.lit(shards)))
 
 
 def salted_repartition(
@@ -86,12 +101,14 @@ def salted_agg(
         ]
     )
     for fn, col in wants_avg:
+        # name by the fn the CALLER asked for ('mean_v' when requested
+        # as mean) — the f"{fn}_{col}" convention every other path uses
         merged = merged.withColumn(
-            f"avg_{col}", F.col(f"sum_{col}") / F.col(f"count_{col}")
+            f"{fn}_{col}", F.col(f"sum_{col}") / F.col(f"count_{col}")
         )
     keep = [*keys] + [
         f"{fn}_{col}" for fn, col in aggs if fn not in ("avg", "mean")
-    ] + [f"avg_{col}" for _, col in wants_avg]
+    ] + [f"{fn}_{col}" for fn, col in wants_avg]
     return merged.select(*dict.fromkeys(keep))
 
 

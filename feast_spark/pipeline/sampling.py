@@ -197,6 +197,7 @@ def leakage_safe_split(
     src: str = "id_a",
     dst: str = "id_b",
     salt: str = "split",
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test split that never places near-duplicates on opposite
     sides: documents are split by DEDUP GROUP (connected component of
@@ -206,10 +207,14 @@ def leakage_safe_split(
 
     Returns docs' ids + ``group_id`` + ``split`` ('train' | 'test').
     Deterministic (hash-threshold on group id + salt), rerun-stable.
+    Pass precomputed ``groups`` (from ``dedup_groups_from_pairs``) to
+    skip re-running connected components when the pipeline already has
+    them.
     """
-    from feast_spark.pipeline.graph import dedup_groups_from_pairs
+    if groups is None:
+        from feast_spark.pipeline.graph import dedup_groups_from_pairs
 
-    groups = dedup_groups_from_pairs(docs, dup_pairs, id_col, src, dst)
+        groups = dedup_groups_from_pairs(docs, dup_pairs, id_col, src, dst)
     key = F.concat(F.col("group_id").cast("string"), F.lit(salt))
     return groups.select(
         id_col,
