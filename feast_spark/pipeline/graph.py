@@ -57,7 +57,7 @@ def connected_components(
         .persist()
     )
     changed = 0
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # neighbor labels: for each vertex u, min over v-neighbors' labels
         neighbor_min = (
             sym.join(labels.withColumnRenamed("id", "v"), on="v")
@@ -87,13 +87,20 @@ def connected_components(
             .select("id", F.coalesce("__c2", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), on="id"
+        if it == 0 and max_iters > 1:
+            # round 1 changes labels on any graph with a non-self edge —
+            # skip its convergence count (one whole job per call); a
+            # pathological all-self-loop graph just converges one round
+            # later
+            changed = 1
+        else:
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "old"), on="id"
+                )
+                .filter(F.col("component") != F.col("old"))
+                .count()
             )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
         labels.unpersist()
         labels = new_labels
         if changed == 0:
