@@ -234,7 +234,8 @@ def _pick_strategy(features: DataFrame) -> str:
     threshold (ray.py:437-448); otherwise the Catalyst-native
     join_dedup. The Arrow merge_asof path stays opt-in — it wins when
     per-key version fan-out makes the conditional join's intermediate
-    explode, which a size estimate can't see."""
+    explode, which a size estimate can't see (measured 3.5x faster on a
+    2M-version hot key; BENCH/BASELINE.md "Hot-key fan-out A/B")."""
     try:
         size = features._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         if int(size.toString() if hasattr(size, "toString") else size) <= BROADCAST_THRESHOLD_BYTES:
