@@ -81,6 +81,8 @@ def headline_job(spark) -> tuple[float, int]:
 
 
 def main() -> None:
+    import statistics
+
     from feast_spark.session import get_spark
 
     spark = get_spark("feast_spark_bench", parallelism=CPUS, shuffle_partitions=CPUS)
@@ -88,21 +90,43 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # Ambient VM load moves single-run timings ±15-25% (measured across
+    # rounds 1-3) — single-run deltas are unactionable, so every number
+    # reported is a MEDIAN of BENCH_RUNS runs (default 3) with the raw
+    # runs preserved in "queries_detail".
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
 
-    # headline: run twice, keep the second (JIT/codegen warm)
+    def record(name: str, samples: list) -> None:
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        detail[name] = {
+            "median": round(med, 3),
+            "min": round(min(samples), 3),
+            "runs": [round(s, 3) for s in samples],
+        }
+
+    # headline: one warmup (JIT/codegen), then BENCH_RUNS timed runs
     headline_job(spark)
-    secs, rows = headline_job(spark)
-    timings["headline_asof_window_materialization"] = round(secs, 3)
-    throughput = rows / secs
+    samples, rows = [], 0
+    for _ in range(runs):
+        secs, rows = headline_job(spark)
+        samples.append(secs)
+    record("headline_asof_window_materialization", samples)
+    throughput = rows / timings["headline_asof_window_materialization"]
 
     for name, fn in entrymod.queries().items():
-        t0 = time.monotonic()
-        _noop_write(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
-        # queries persist() reusable intermediates; drop them between
-        # queries so 40+ cached lineages don't squeeze the executor heap
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            _noop_write(fn(spark, SF_DIR))
+            samples.append(time.monotonic() - t0)
+            # queries persist() reusable intermediates; drop them between
+            # runs so 40+ cached lineages don't squeeze the executor heap
+            # (also keeps every run cache-cold — comparable)
+            spark.catalog.clearCache()
+        record(name, samples)
 
     print(
         json.dumps(
@@ -111,6 +135,8 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "seq/sec",
                 "queries": timings,
+                "queries_detail": detail,
+                "bench_runs": runs,
                 "sf": 0.1 if SF_DIR.rstrip("/").endswith("sf0.1") else SF_DIR,
                 "headline_rows": rows,
                 "cpus": CPUS,

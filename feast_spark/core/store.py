@@ -40,6 +40,21 @@ from feast_spark.operators.windows import agg_fn, tumbling_agg
 TIMESTAMP_TYPES = ("timestamp", "timestamp_ntz")
 
 
+def _path_has_output(path: str) -> bool:
+    """True when ``path`` already holds materialized data files (any
+    non-hidden file outside the ``_manifest`` ledger) — the gate for
+    trusting per-VIEW registry intervals as a per-PATH resume point."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != "_manifest" and not d.startswith(".")]
+        if any(not f.startswith((".", "_")) for f in files):
+            return True
+    return False
+
+
 def infer_event_timestamp_col(df: DataFrame) -> str:
     """Reference offline_utils.py:28-44: prefer ``event_timestamp``, else
     the single timestamp-typed column; ambiguous → error."""
@@ -465,27 +480,31 @@ class FeatureStore:
         materialization (reference feature_store.py:1555
         ``materialize_incremental``: start = last end, else now - ttl).
 
-        Start resolution order: (1) the registry's latest interval end
-        for the view, (2) the output manifest's day high-watermark (so
-        resumability survives even a lost registry), (3) ``end - ttl``
-        when the view has a TTL, (4) unbounded. The boundary day is
-        ALWAYS re-covered in full: ``start`` is widened to that day's
-        midnight and the day is forced past the manifest's done-skip
-        (``redo_since_day``) — a previous end that fell mid-day would
-        otherwise leave the day partition permanently missing its tail
-        (the dynamic overwrite replaces whole days)."""
+        Start resolution order: (1) the OUT_PATH manifest's day
+        high-watermark — the path's own lineage is authoritative for
+        what the path contains, (2) the registry's latest interval end,
+        consulted ONLY when the path already holds prior output (a lost
+        manifest with surviving data files): registry intervals are
+        per-VIEW, not per-path, so trusting them for a fresh out_path
+        would start at another path's end and leave this path with a
+        permanent hole before that date, (3) ``end - ttl`` when the view
+        has a TTL, (4) unbounded. The boundary day is ALWAYS re-covered
+        in full: ``start`` is widened to that day's midnight and the day
+        is forced past the manifest's done-skip (``redo_since_day``) — a
+        previous end that fell mid-day would otherwise leave the day
+        partition permanently missing its tail (the dynamic overwrite
+        replaces whole days)."""
         from datetime import datetime as _dt
 
         view = self.get_feature_view(view_name)
         start = None
-        if self.registry is not None:
-            start = self.registry.latest_materialization_end(view_name)
-        if start is None:
-            from feast_spark.materialize.jobs import MaterializationManifest
+        from feast_spark.materialize.jobs import MaterializationManifest
 
-            hw = MaterializationManifest(out_path).high_watermark()
-            if hw is not None:
-                start = _dt.strptime(hw, "%Y-%m-%d")
+        hw = MaterializationManifest(out_path).high_watermark()
+        if hw is not None:
+            start = _dt.strptime(hw, "%Y-%m-%d")
+        elif self.registry is not None and _path_has_output(out_path):
+            start = self.registry.latest_materialization_end(view_name)
         if start is None and view.ttl_seconds:
             from datetime import timedelta as _td
 

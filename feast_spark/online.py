@@ -74,6 +74,14 @@ class LocalOnlineStore:
         pushed batch is typically tiny next to the snapshot; the merge
         is one latest-dedup shuffle."""
         spark = df.sparkSession
+        # Crash recovery FIRST: a crash between the two os.replace calls
+        # below leaves the snapshot moved aside in `.__push_old` and
+        # self.path absent. Without this restore, the next push would see
+        # exists()==False, build a snapshot from the incoming batch only,
+        # and rmtree the old copy — silently discarding all prior data.
+        old = self.path.rstrip("/") + ".__push_old"
+        if not os.path.isdir(self.path) and os.path.isdir(old):
+            os.replace(old, self.path)
         if self.exists():
             existing = spark.read.parquet(self.path).drop("__bucket")
             # allowMissingColumns both ways: a push with NEW feature
@@ -87,7 +95,6 @@ class LocalOnlineStore:
         # in `.__push_old` instead of destroyed (rmtree-then-rename had a
         # window where the store was simply gone).
         tmp = self.path.rstrip("/") + ".__push_tmp"
-        old = self.path.rstrip("/") + ".__push_old"
         staged = LocalOnlineStore(tmp)
         n = staged.push_online(df, join_keys, ts_col, created_col)
         import shutil

@@ -68,28 +68,60 @@ def _hashable_orderable(dt) -> bool:
     return True
 
 
-def _with_row_id(spine: DataFrame) -> DataFrame:
+def _with_row_id(spine: DataFrame, assume_unique: bool | str | None = None) -> DataFrame:
     """Attach a unique internal row id preserving spine multiplicity.
 
     Idempotent: a pre-stamped spine is returned unchanged, so the id is
     derived ONCE and every downstream plan branch agrees on it.
 
-    The id is CONTENT-DERIVED — ``xxhash64`` of the row plus a
-    ``row_number`` among equal-hash rows ordered by the full row — so
-    re-evaluating the expression in independent plan branches (Spark
-    does not share subplans) yields identical row→id assignments even
-    when the spine's lineage contains nondeterministic shuffles
-    (round-robin ``repartition``, AQE-coalesced reads, task retries).
-    ``monotonically_increasing_id`` is NOT safe here: it numbers rows by
-    partition/position, and two evaluations of a post-shuffle plan can
-    see different row orders — features silently attach to wrong spine
-    rows (the reference avoids this with a content-concat
-    ``entity_row_unique_id``, spark.py:683-688; we keep its content-
-    derivation property without the string-of-every-column blowup).
-    Rows identical in every column get interchangeable ids — harmless,
-    they are indistinguishable. Cost: one hash shuffle + sort of the
-    (narrow) spine per evaluation; callers that reuse the spine across
-    views stamp once up front, which this idempotency makes safe.
+    The id is CONTENT-DERIVED, so re-evaluating the expression in
+    independent plan branches (Spark does not share subplans) yields
+    identical row→id assignments even when the spine's lineage contains
+    nondeterministic shuffles (round-robin ``repartition``,
+    AQE-coalesced reads, task retries). ``monotonically_increasing_id``
+    is NOT safe here: it numbers rows by partition/position, and two
+    evaluations of a post-shuffle plan can see different row orders —
+    features silently attach to wrong spine rows (the reference avoids
+    this with a content-concat ``entity_row_unique_id``,
+    spark.py:683-688; we keep its content-derivation property without
+    the string-of-every-column blowup).
+
+    Three physical forms (same contract — every row gets a globally
+    unique, content-deterministic id):
+
+    * GLOBAL WINDOW (default) — ``h`` plus ``row_number`` among
+      equal-hash rows ordered by the full row, so duplicate rows get
+      distinct (interchangeable) ids and hash-colliding distinct rows
+      stay distinguishable. One hash shuffle + sort of the (narrow)
+      spine per plan-branch evaluation. An interleaved A/B (7
+      alternations, bench headline at local[32], see
+      BENCH/BASELINE.md "Row-id A/B") measured this within noise of
+      the map-only form at 400k spine rows — Spark's narrow-row window
+      is NOT the bench bottleneck, so the default keeps the
+      probe-free, duplicate-safe form.
+    * UNIQUE-ROWS FAST PATH (``assume_unique=True``) — the id is two
+      independent ``xxhash64`` values of the row (128 effective bits:
+      P[any collision] ≈ n²/2¹²⁹ ≈ 10⁻¹⁵ at 10¹² rows — a single
+      64-bit hash is NOT enough there, ~27k expected colliding pairs
+      would silently cross-attach features). Pure map-side codegen: NO
+      shuffle, NO sort. At 10¹² spine rows the window form's
+      per-branch full-spine shuffle+sort becomes real money — callers
+      that constructed the spine (e.g. a ``distinct()`` output, a
+      generated grid) should pass the flag. UNSAFE if fully-duplicate
+      rows exist: copies share an id and join-backs explode.
+    * SPLIT PATH (``assume_unique="probe"``) — for huge, ALMOST-unique
+      spines where the flag can't be asserted: one probe aggregation
+      (``groupBy(h) → count > 1``, map-side combinable) finds the
+      duplicated-hash set (tiny), which is broadcast; non-duplicated
+      rows take the map-only fast id and only duplicated rows go
+      through the window — a shuffle of |dup rows|, not |spine|. Fast
+      ids are ``h-h2``, window ids ``h-rownum``; they can never
+      collide because a fast row's ``h`` is by construction not shared
+      with any window row. The probe is an eager job at plan-build
+      time and the union scans the spine twice per branch — measured a
+      net LOSS at bench scale (5.27 s vs 4.06 s median), so it is
+      opt-in for the regime it exists for: spine lineage cheap to
+      re-scan, spine too large to window-sort per branch.
     """
     if SPINE_ROW_ID in spine.columns:
         return spine
@@ -97,11 +129,49 @@ def _with_row_id(spine: DataFrame) -> DataFrame:
     if not cols:  # degenerate: no hashable column at all
         return spine.withColumn(SPINE_ROW_ID, F.monotonically_increasing_id().cast("string"))
     h = F.xxhash64(*[F.col(c) for c in cols])
+    h2 = F.xxhash64(F.lit(-6742718), *[F.col(c) for c in cols])
+    fast_id = F.concat_ws("-", h.cast("string"), h2.cast("string"))
     w = Window.partitionBy(h).orderBy(*[F.col(c) for c in cols])
-    return spine.withColumn(
-        SPINE_ROW_ID,
-        F.concat_ws("-", h.cast("string"), F.row_number().over(w).cast("string")),
+    window_id = F.concat_ws("-", h.cast("string"), F.row_number().over(w).cast("string"))
+    if assume_unique is True:
+        return spine.withColumn(SPINE_ROW_ID, fast_id)
+    if assume_unique is None or assume_unique is False:
+        return spine.withColumn(SPINE_ROW_ID, window_id)
+    if assume_unique != "probe":
+        raise ValueError(f"assume_unique must be True/False/None/'probe', got {assume_unique!r}")
+    # probe: hashes shared by >1 row. Deterministic regardless of spine
+    # lineage (it is a pure aggregate of row content), so re-evaluating
+    # it inside plan branches can never disagree; persisted because the
+    # broadcast side is referenced by every branch of the caller's plan.
+    max_dup_hashes = 4_000_000  # ~32 MB of longs — broadcastable
+    dup = (
+        spine.groupBy(h.alias("__feast_dup_h"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__feast_dup_h")
+        .persist()
     )
+    n_dup = dup.count()
+    if n_dup == 0:
+        dup.unpersist()
+        return spine.withColumn(SPINE_ROW_ID, fast_id)
+    if n_dup > max_dup_hashes:
+        dup.unpersist()
+        return spine.withColumn(SPINE_ROW_ID, window_id)
+    marked = spine.join(
+        F.broadcast(dup), h == F.col("__feast_dup_h"), "left"
+    )
+    fast = (
+        marked.filter(F.col("__feast_dup_h").isNull())
+        .drop("__feast_dup_h")
+        .withColumn(SPINE_ROW_ID, fast_id)
+    )
+    slow = (
+        marked.filter(F.col("__feast_dup_h").isNotNull())
+        .drop("__feast_dup_h")
+        .withColumn(SPINE_ROW_ID, window_id)
+    )
+    return fast.unionByName(slow)
 
 
 def _ttl_lower_bound(ts_col: str, entity_ts: Column, ttl_seconds: int | None) -> Column:
@@ -127,6 +197,7 @@ def point_in_time_join(
     include_feature_ts: bool = False,
     tie_breaker_cols: Sequence[str] = (),
     feature_prefix: str = "",
+    spine_assume_unique: bool | str | None = None,
 ) -> DataFrame:
     """As-of join ``features`` onto ``spine`` (see module docstring).
 
@@ -136,6 +207,11 @@ def point_in_time_join(
     (key, ts, created) rows exist and bit-exact reproducibility matters.
     ``feature_prefix`` renames output feature columns (``prefix + name``)
     — required when a feature column name already exists on the spine.
+    ``spine_assume_unique`` routes the internal row-id stamp (see
+    ``_with_row_id``): None/False (default) = duplicate-safe window,
+    True = caller guarantees no fully-duplicate spine rows (map-only
+    stamp, no shuffle — the 10¹²-row escape hatch), "probe" = probe +
+    split (window only the duplicated rows).
     Returns spine columns + feature columns (+ ``feature_ts_col`` as
     ``__feature_ts`` when ``include_feature_ts``).
     """
@@ -183,6 +259,7 @@ def point_in_time_join(
             strategy=strategy,
             include_feature_ts=include_feature_ts,
             tie_breaker_cols=tie_breaker_cols,
+            spine_assume_unique=spine_assume_unique,
         )
         return out.drop(DUMMY_ENTITY_COL)
 
@@ -208,6 +285,7 @@ def point_in_time_join(
             broadcast=(strategy == "broadcast"),
             include_feature_ts=include_feature_ts,
             tie_breaker_cols=tie_breaker_cols,
+            spine_assume_unique=spine_assume_unique,
         )
     if strategy == "merge_asof":
         return _pit_merge_asof(
@@ -221,6 +299,7 @@ def point_in_time_join(
             ttl_seconds,
             include_feature_ts=include_feature_ts,
             tie_breaker_cols=tie_breaker_cols,
+            spine_assume_unique=spine_assume_unique,
         )
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -258,8 +337,9 @@ def _pit_join_dedup(
     broadcast: bool,
     include_feature_ts: bool,
     tie_breaker_cols: Sequence[str],
+    spine_assume_unique: bool | str | None = None,
 ) -> DataFrame:
-    s = _with_row_id(spine)
+    s = _with_row_id(spine, assume_unique=spine_assume_unique)
     # Column pruning before the shuffle: keys + ts + features only
     # (reference does the same via _get_column_names, utils.py:145-207).
     f_needed = list(
@@ -312,6 +392,7 @@ def _pit_merge_asof(
     *,
     include_feature_ts: bool,
     tie_breaker_cols: Sequence[str],
+    spine_assume_unique: bool | str | None = None,
 ) -> DataFrame:
     """Cogrouped sorted-merge as-of join (Arrow-vectorized).
 
@@ -338,7 +419,7 @@ def _pit_merge_asof(
     """
     from pyspark.sql import types as T
 
-    s = _with_row_id(spine)
+    s = _with_row_id(spine, assume_unique=spine_assume_unique)
 
     keys = list(join_keys)
     tiebreaks = list(tie_breaker_cols)
@@ -478,6 +559,7 @@ def multi_view_pit_join(
     *,
     spine_ts_col: str = "event_timestamp",
     strategy: str = "join_dedup",
+    spine_assume_unique: bool | str | None = None,
 ) -> DataFrame:
     """Join several feature views onto one spine, each with PIT semantics.
 
@@ -488,7 +570,7 @@ def multi_view_pit_join(
     SparkJoinNode (compute_engines/spark/nodes.py:150-211) without the
     string row-key artifact.
     """
-    acc = _with_row_id(spine)
+    acc = _with_row_id(spine, assume_unique=spine_assume_unique)
     base = acc
     for features, join_keys, opts in views:
         prefix = opts.get("prefix")

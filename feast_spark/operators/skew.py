@@ -36,24 +36,40 @@ _DECOMPOSABLE = {
 }
 
 
-def with_salt(df: DataFrame, salt_col: str = "__salt", shards: int = 16, on: str | None = None) -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    salt_col: str = "__salt",
+    shards: int = 16,
+    on: str | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
     """Salt column in ``[0, shards)``.
 
     With ``on`` set: deterministic ``pmod(hash(on), shards)`` — use a
-    high-cardinality column. Default (no ``on``): row-content hash PLUS
-    a per-row position component, because a hot key's rows are often
-    byte-identical (replayed logs, idempotent re-ingestion) and a pure
-    content hash would send every copy to ONE shard — the exact skew
-    salting exists to break. Salting is a physical spreading concern
-    only: the two-phase aggregation is correct for any shard
-    assignment, so the positional component being
-    partition-layout-dependent is harmless."""
+    high-cardinality column (the recommended form for every use).
+    Default (no ``on``): row-content hash PLUS a per-row position
+    component, because a hot key's rows are often byte-identical
+    (replayed logs, idempotent re-ingestion) and a pure content hash
+    would send every copy to ONE shard — the exact skew salting exists
+    to break.
+
+    SAFETY: the positional default is NONDETERMINISTIC under stage
+    retry (a recomputed task can assign different salts) and is only
+    safe when the salt feeds an AGGREGATION (``salted_agg`` — correct
+    for any shard assignment). Feeding it to a repartition/write risks
+    row duplication/loss on fetch-failure retries, the same hazard
+    class as round-robin ``repartition()``. ``deterministic=True``
+    drops the positional component (pure content hash — retry-stable;
+    byte-identical copies of a row share a shard, which only costs
+    spreading, never correctness); ``salted_repartition`` uses it."""
     if on:
         src = F.hash(F.col(on))
     else:
         src = F.hash(
             F.concat_ws("\x00", *[F.col(c).cast("string") for c in df.columns])
-        ) + F.monotonically_increasing_id()
+        )
+        if not deterministic:
+            src = src + F.monotonically_increasing_id()
     return df.withColumn(salt_col, F.pmod(src, F.lit(shards)))
 
 
@@ -61,8 +77,11 @@ def salted_repartition(
     df: DataFrame, keys: Sequence[str], shards: int = 16, salt_on: str | None = None
 ) -> DataFrame:
     """Repartition on (keys..., salt) so a hot key spreads over
-    ``shards`` partitions instead of one."""
-    salted = with_salt(df, shards=shards, on=salt_on)
+    ``shards`` partitions instead of one. The salt is retry-stable
+    (deterministic content hash, or ``pmod(hash(salt_on), shards)``) —
+    a nondeterministic salt feeding a shuffle can duplicate/lose rows
+    when a fetch failure recomputes upstream tasks."""
+    salted = with_salt(df, shards=shards, on=salt_on, deterministic=True)
     return salted.repartition(*keys, "__salt").drop("__salt")
 
 

@@ -46,7 +46,19 @@ def connected_components(
     RuntimeError if ``max_iters`` is exhausted while labels are still
     changing (pass ``raise_on_nonconverged=False`` to get the partial
     labels plus a warning instead — never silent).
+
+    The per-round convergence check is FREE: the old label rides along
+    and an ``observe()`` metric counts changes during the SAME action
+    that materializes the round's localCheckpoint — one Spark job per
+    round total, no separate join + count action (halves the job count
+    vs the naive re-join formulation).
     """
+    from pyspark.sql import Observation
+
+    if max_iters < 1:
+        # a skipped loop would return identity labels (fully split
+        # components) without tripping the non-convergence guard
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct().persist()
@@ -67,6 +79,7 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, on="id", how="left").select(
             "id",
+            F.col("component").alias("__old"),
             F.least(F.col("component"), F.coalesce("nmin", "component")).alias(
                 "component"
             ),
@@ -82,27 +95,25 @@ def connected_components(
         # — by round ~10 plan-tree handling alone OOMs the driver. The
         # checkpoint materializes the (small: one row per vertex) label
         # table and resets the lineage to constant size per round.
-        new_labels = (
+        obs = Observation(f"cc_round_{it}")
+        checkpointed = (
             propagated.join(hop, on="component", how="left")
-            .select("id", F.coalesce("__c2", "component").alias("component"))
+            .select(
+                "id",
+                F.coalesce("__c2", "component").alias("component"),
+                "__old",
+            )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("component") != F.col("__old"), F.lit(1))
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        if it == 0 and max_iters > 1:
-            # round 1 changes labels on any graph with a non-self edge —
-            # skip its convergence count (one whole job per call); a
-            # pathological all-self-loop graph just converges one round
-            # later
-            changed = 1
-        else:
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "old"), on="id"
-                )
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            )
+        changed = int(obs.get["changed"])
         labels.unpersist()
-        labels = new_labels
+        labels = checkpointed.select("id", "component")
         if changed == 0:
             break
     sym.unpersist()

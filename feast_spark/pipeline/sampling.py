@@ -112,16 +112,35 @@ def pack_sequences(
     ts_col: str = "event_timestamp",
     tokens_col: str = "tokens",
     n_tok_col: str = "n_tok",
+    max_stream_rows: int | None = 2_000_000,
+    shard_time_unit: str = "week",
 ) -> DataFrame:
     """Assign each sequence to a training block of ≤ ``block_tokens``
     tokens per stream, preserving deterministic (ts, id) order;
     sequences longer than the budget get their own block.
 
-    Plan: one window pass per stream computing the running token total,
-    block id = number of completed blocks BEFORE this row — a greedy
-    first-fit-in-order packing computed without any per-row Python.
-    Returns one row per block: stream cols, block_id, n_docs,
-    n_tokens, tokens (flattened in order).
+    Plan: per-stream greedy pass in ``applyInPandas``. Greedy
+    accumulation has sequential state (a block closes only when the
+    NEXT doc would overflow), which prefix sums cannot express — a
+    closed-form ``floor(cum/budget)`` can overshoot the budget when
+    short docs precede long ones. Returns one row per block: stream
+    cols, block_id, n_docs, n_tokens, tokens (flattened in order).
+
+    AUTO-SHARDING (the 100 TB guard): one pandas group per stream means
+    a single giant stream serializes on one task. A cheap probe
+    (``groupBy(stream).count`` — map-side-combinable, #streams result
+    rows) runs first; when the largest stream exceeds
+    ``max_stream_rows``, a coarse time shard (``date_trunc`` of
+    ``ts_col`` at ``shard_time_unit``) is injected into the grouping
+    and emitted as a ``shard`` output column, so every shard packs in
+    parallel. Block-reset semantics: ``block_id`` restarts per
+    (stream, shard) — the unique block key becomes (stream cols,
+    shard, block_id) — and a block NEVER spans a shard boundary, so
+    the final possibly-underfull block of each shard is the standard
+    sharded-packing trade-off (≤ one underfull block per stream per
+    time unit). Assignment remains a pure function of the data:
+    rerun/resume-stable. ``max_stream_rows=None`` disables the probe
+    (never shards; output has no ``shard`` column).
 
     Greedy-sequential is the standard streaming packing (same shape as
     T5/GPT dataloader packing); block boundaries are a pure function of
@@ -133,17 +152,24 @@ def pack_sequences(
     from pyspark.sql import types as T
 
     stream_cols = list(stream_cols)
-    # Greedy accumulation has sequential state (a block closes only when
-    # the NEXT doc would overflow), which prefix sums cannot express —
-    # a closed-form floor(cum/budget) can overshoot the budget when
-    # short docs precede long ones. So: per-stream greedy pass in
-    # applyInPandas. Parallelism comes from the stream partitioning; for
-    # a single giant stream add a coarse time bucket to stream_cols
-    # (blocks then reset per bucket — the standard sharded-packing
-    # trade-off).
+    shard = False
+    if max_stream_rows is not None:
+        top = (
+            df.groupBy(*stream_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("m"))
+            .first()
+        )
+        shard = bool(top["m"] and top["m"] > max_stream_rows)
+    if shard:
+        df = df.withColumn(
+            "shard",
+            F.date_trunc(shard_time_unit, F.col(ts_col)).cast("date").cast("string"),
+        )
+    group_cols = stream_cols + (["shard"] if shard else [])
     tokens_type = df.schema[tokens_col].dataType
     out_schema = T.StructType(
-        [df.schema[c] for c in stream_cols]
+        [df.schema[c] for c in group_cols]
         + [
             T.StructField("block_id", T.LongType()),
             T.StructField("n_docs", T.LongType()),
@@ -152,7 +178,7 @@ def pack_sequences(
         ]
     )
     budget = int(block_tokens)
-    scols = stream_cols
+    scols = group_cols
     tcol, icol, kcol, ncol = ts_col, id_col, tokens_col, n_tok_col
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -219,6 +219,39 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return pandas_udf("long")(sig_fn)(vec)
 
 
+def lsh_sig_norm(vec: Column, planes: list[list[float]]) -> Column:
+    """``struct(sig: long, norm: double)`` from ONE Arrow batch pass:
+    the signature matmul and the L2 norm share the stacked batch matrix.
+
+    Exists because pairing ``lsh_signature`` (vectorized) with the
+    higher-order ``_norm`` expression re-introduced the CodegenFallback
+    trap one column over — ``aggregate`` is interpreted PER ELEMENT per
+    corpus row, which dominates index build at corpus scale
+    (VERDICT r02 #3). numpy's pairwise-summed norm differs from the
+    sequential expression by < 1e-12 relative; every consumer rounds
+    cosine to 6 digits, so oracle parity is unaffected."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # n_planes x dim
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    def fn(v):
+        if len(v) == 0:
+            return pd.DataFrame({"sig": pd.Series([], dtype="int64"),
+                                 "norm": pd.Series([], dtype="float64")})
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ P.T) > 0
+        return pd.DataFrame(
+            {
+                "sig": (bits @ weights).astype(np.int64),
+                "norm": np.linalg.norm(m, axis=1),
+            }
+        )
+
+    fn.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("struct<sig: long, norm: double>")(fn)(vec)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -254,8 +287,12 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+        lsh_sig_norm(F.col(vec_col), planes).alias("__sn"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.col("__sn.norm").alias("__qn"),
+        F.col("__sn.sig").alias("__sig"),
     ).select(
         "query_id",
         "__qv",
@@ -265,8 +302,12 @@ def lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
-        lsh_signature(F.col(vec_col), planes).alias("__bucket"),
+        lsh_sig_norm(F.col(vec_col), planes).alias("__sn"),
+    ).select(
+        "neighbor_id",
+        "__cv",
+        F.col("__sn.norm").alias("__cn"),
+        F.col("__sn.sig").alias("__bucket"),
     )
     pairs = c.join(q, on="__bucket")
     if exclude_self:
@@ -310,34 +351,63 @@ def ivf_topk(
         .select("cell", F.col("__cv").alias("centroid"))
     )
     cent_rows = cent.collect()  # n_cells rows — driver-tiny by design
-    cent_arrays = [
-        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in cent_rows
-    ]
+    cell_ids = np.array([int(r["cell"]) for r in cent_rows], dtype=np.int64)
+    cent_mat = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )  # n_cells x dim
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        structs = F.array(
-            *[
-                F.struct(
-                    _dot(vec, F.array(*[F.lit(v) for v in cvec])).alias("d"),
-                    F.lit(cid).alias("cell"),
+    def _cells_norm(vec: Column, n: int) -> Column:
+        """``struct(cells: array<long>, norm: double)`` — the ``n``
+        nearest cells (by dot product, descending; ties by descending
+        cell id, matching the previous reversed ``array_sort`` on
+        (d, cell) structs) plus the L2 norm, from one batch matmul
+        against the broadcast-size centroid matrix. The previous form
+        evaluated ``n_cells`` interpreted ``aggregate`` dot expressions
+        PER ROW (CodegenFallback — at 10⁹ corpus rows × 16 cells that
+        dominates index build; the exact pattern NOTES measured 7.6×
+        slower elsewhere, VERDICT r02 #4)."""
+        from pyspark.sql.functions import pandas_udf
+
+        cm, cids, nn = cent_mat, cell_ids, n
+
+        def fn(v):
+            if len(v) == 0:
+                return pd.DataFrame(
+                    {"cells": pd.Series([], dtype="object"),
+                     "norm": pd.Series([], dtype="float64")}
                 )
-                for cid, cvec in cent_arrays
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(structs)), 1, n)
-        return F.transform(top, lambda s: s["cell"])
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            dots = m @ cm.T  # |batch| x n_cells
+            # primary: dot desc; secondary: cell id desc (lexsort's last
+            # key is primary)
+            order = np.lexsort((-cids[None, :].repeat(len(m), 0), -dots), axis=1)
+            top = cids[order[:, :nn]]
+            return pd.DataFrame(
+                {"cells": list(top), "norm": np.linalg.norm(m, axis=1)}
+            )
+
+        fn.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+        return pandas_udf("struct<cells: array<long>, norm: double>")(fn)(vec)
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
-        nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
+        _cells_norm(F.col(vec_col), 1).alias("__cn_s"),
+    ).select(
+        "neighbor_id",
+        "__cv",
+        F.col("__cn_s.norm").alias("__cn"),
+        F.col("__cn_s.cells")[0].alias("cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-        F.explode(nearest_cells(F.col(vec_col), nprobe)).alias("cell"),
+        _cells_norm(F.col(vec_col), nprobe).alias("__qn_s"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.col("__qn_s.norm").alias("__qn"),
+        F.explode(F.col("__qn_s.cells")).alias("cell"),
     )
     pairs = c.join(q, on="cell")
     if exclude_self:
@@ -426,19 +496,28 @@ def embedding_dup_pairs(
             .mapInPandas(score, out_schema)
         )
 
+    planes = _hyperplanes(dim, n_planes, seed)
+    # signature + norm from ONE batch pass per side (the interpreted
+    # higher-order _norm next to a vectorized signature was the r02
+    # CodegenFallback regression, VERDICT r02 #3)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        _norm(F.col(vec_col)).alias("__na"),
+        lsh_sig_norm(F.col(vec_col), planes).alias("__sn"),
+    ).select(
+        "id_a", "__va",
+        F.col("__sn.norm").alias("__na"),
+        F.col("__sn.sig").alias("__bucket"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        _norm(F.col(vec_col)).alias("__nb"),
+        lsh_sig_norm(F.col(vec_col), planes).alias("__sn"),
+    ).select(
+        "id_b", "__vb",
+        F.col("__sn.norm").alias("__nb"),
+        F.col("__sn.sig").alias("__bucket"),
     )
-    planes = _hyperplanes(dim, n_planes, seed)
-    a = a.withColumn("__bucket", lsh_signature(F.col("__va"), planes))
-    b = b.withColumn("__bucket", lsh_signature(F.col("__vb"), planes))
     pairs = a.join(b, on="__bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
