@@ -1709,6 +1709,224 @@ FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r ON s.sid =
 """
 
 
+
+
+def q_profile_stats(spark, sf_dir):
+    """GE-style auto-profiler observation pass (validation.DatasetProfiler
+    .analyze — reference dqm/profilers/ge_profiler.py analyze_dataset):
+    derive the widened expectations for events.value (numeric) and
+    events.event_type (low-cardinality categorical) and emit them as a
+    table. The DuckDB oracle recomputes every derived bound from the
+    same formulas — a cross-engine check of the profiler math itself.
+    Values rounded to 4 digits (distributed vs sequential float
+    summation differs ~1e-12 relative; 4-digit rounding is stable)."""
+    from feast_spark.validation import DatasetProfiler
+
+    ev = _events(spark, sf_dir).select("value", "event_type")
+    profile = DatasetProfiler(columns=["value", "event_type"]).analyze(ev)
+    rows = []
+    for e in profile.expectations:
+        rows.append(
+            (
+                e.kind,
+                e.column or ",".join(e.columns),
+                round(float(e.value), 4) if e.value is not None else None,
+                round(float(e.value_hi), 4) if e.value_hi is not None else None,
+                ",".join(map(str, e.value_set)) if e.value_set else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "kind string, column string, lo double, hi double, detail string"
+    )
+
+
+_PROFILE_STATS_ORACLE = r"""
+WITH stats AS (
+  SELECT count(*) AS n,
+         min(value) AS mn, max(value) AS mx,
+         avg(value) AS mean, stddev_samp(value) AS std,
+         avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS nul_v,
+         avg(CASE WHEN event_type IS NULL THEN 1.0 ELSE 0.0 END) AS nul_t
+  FROM events
+), tol AS (
+  SELECT *,
+         CASE WHEN mx - mn <> 0 THEN mx - mn
+              ELSE greatest(abs(mx), 1.0) END * 0.1 AS t
+  FROM stats
+)
+SELECT 'columns_ordered' AS kind, 'value,event_type' AS "column",
+       CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+       CAST(NULL AS VARCHAR) AS detail FROM tol
+UNION ALL
+SELECT 'row_count_between', '',
+       round(greatest(0.0, n * 0.5), 4), round(n * 1.5, 4), NULL FROM tol
+UNION ALL
+SELECT 'null_ratio_max', 'value', round(least(1.0, nul_v + 0.05), 4), NULL, NULL FROM tol
+UNION ALL
+SELECT 'min_at_least', 'value', round(mn - t, 4), NULL, NULL FROM tol
+UNION ALL
+SELECT 'max_at_most', 'value', round(mx + t, 4), NULL, NULL FROM tol
+UNION ALL
+SELECT 'mean_between', 'value',
+       round(mean - greatest(t, std), 4), round(mean + greatest(t, std), 4), NULL FROM tol
+UNION ALL
+SELECT 'stddev_at_most', 'value', round(2 * std + t, 4), NULL, NULL FROM tol
+UNION ALL
+SELECT 'null_ratio_max', 'event_type', round(least(1.0, nul_t + 0.05), 4), NULL, NULL FROM tol
+UNION ALL
+SELECT 'values_in_set', 'event_type', NULL, NULL,
+       (SELECT string_agg(et, ',' ORDER BY et)
+        FROM (SELECT DISTINCT event_type AS et FROM events WHERE event_type IS NOT NULL))
+FROM tol
+"""
+
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery (Rae et al. 2021 A1.1) over
+    documents — per-rule booleans + overall pass, all codegen."""
+    from feast_spark.pipeline.text import gopher_quality_rules
+
+    out = gopher_quality_rules(_docs(spark, sf_dir), min_words=5)
+    return out.select(
+        "doc_id",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_ratio",
+        "rule_ellipsis_ratio",
+        "rule_alpha_ratio",
+        "rule_dup_line_ratio",
+        "gopher_pass",
+    )
+
+
+_GOPHER_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') w
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> x),
+                     x -> trim(x) <> '') ls
+  FROM documents
+), m AS (
+  SELECT w.doc_id,
+         len(w.w) n_words,
+         CASE WHEN len(w.w) > 0 THEN CAST(len(w.w) AS DOUBLE) ELSE 1.0 END sw,
+         list_sum(list_transform(w.w, x -> length(x))) n_chars_in_words,
+         length(w.text) - length(replace(w.text, '#', '')) n_hash,
+         len(regexp_split_to_array(w.text, '\.\.\.|…')) - 1 n_ellipsis,
+         len(l.ls) n_lines,
+         CASE WHEN len(l.ls) > 0 THEN CAST(len(l.ls) AS DOUBLE) ELSE 1.0 END sl,
+         len(list_filter(l.ls, x -> regexp_matches(trim(x), '^([-*•]|[0-9]+[.)])'))) bullet_lines,
+         len(list_filter(l.ls, x -> regexp_matches(rtrim(x), '(\.\.\.|…)$'))) ellipsis_lines,
+         len(list_filter(w.w, x -> regexp_matches(x, '[A-Za-z]'))) alpha_words,
+         len(l.ls) - len(list_distinct(list_transform(l.ls, x -> trim(x)))) dup_lines
+  FROM words w JOIN lines l USING (doc_id)
+)
+SELECT doc_id,
+       (n_words >= 5 AND n_words <= 100000) AS rule_word_count,
+       (COALESCE(n_chars_in_words, 0) / sw >= 3.0 AND COALESCE(n_chars_in_words, 0) / sw <= 10.0) AS rule_mean_word_len,
+       ((n_hash + n_ellipsis) / sw <= 0.1) AS rule_symbol_ratio,
+       (bullet_lines / sl <= 0.9) AS rule_bullet_ratio,
+       (ellipsis_lines / sl <= 0.3) AS rule_ellipsis_ratio,
+       (alpha_words / sw >= 0.8) AS rule_alpha_ratio,
+       (dup_lines / sl <= 0.3) AS rule_dup_line_ratio,
+       ((n_words >= 5 AND n_words <= 100000)
+        AND (COALESCE(n_chars_in_words, 0) / sw >= 3.0 AND COALESCE(n_chars_in_words, 0) / sw <= 10.0)
+        AND ((n_hash + n_ellipsis) / sw <= 0.1)
+        AND (bullet_lines / sl <= 0.9)
+        AND (ellipsis_lines / sl <= 0.3)
+        AND (alpha_words / sw >= 0.8)
+        AND (dup_lines / sl <= 0.3)) AS gopher_pass
+FROM m
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass over documents: typed placeholder scrub +
+    per-kind counts. Chained regexp_replace, per-row codegen."""
+    from feast_spark.pipeline.text import pii_scrub
+
+    out = pii_scrub(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "pii_email_count",
+        "pii_phone_count",
+        "pii_ipv4_count",
+        "pii_ssn_count",
+        "pii_total",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+_PII_ORACLE = r"""
+WITH pats AS (
+  SELECT
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' email_p,
+    '\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}' phone_p,
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b' ipv4_p,
+    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b' ssn_p
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, email_p)) AS pii_email_count,
+       len(regexp_extract_all(text, phone_p)) AS pii_phone_count,
+       len(regexp_extract_all(text, ipv4_p)) AS pii_ipv4_count,
+       len(regexp_extract_all(text, ssn_p)) AS pii_ssn_count,
+       len(regexp_extract_all(text, email_p)) + len(regexp_extract_all(text, phone_p))
+         + len(regexp_extract_all(text, ipv4_p)) + len(regexp_extract_all(text, ssn_p)) AS pii_total,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             email_p, '[EMAIL]', 'g'),
+             phone_p, '[PHONE]', 'g'),
+             ipv4_p, '[IP]', 'g'),
+             ssn_p, '[SSN]', 'g')) AS scrub_md5
+FROM documents, pats
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag docs sharing any word 3-gram
+    with a deterministic pseudo-benchmark subset (doc_id % 17 == 0).
+    Benchmark shingle set broadcast; corpus never shuffles on shingle."""
+    from feast_spark.pipeline.text import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id").cast("long") % 17 == 0)
+    out = decontaminate(docs, bench, n=3)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "contaminated",
+    )
+
+
+_DECON_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+                generate_series(1, len(w) - 2), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))
+              WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+              ELSE [] END shingles
+  FROM words
+), posting AS (
+  SELECT doc_id, unnest(shingles) shingle FROM sh
+), bench AS (
+  SELECT DISTINCT shingle FROM posting WHERE CAST(doc_id AS BIGINT) % 17 = 0
+), hits AS (
+  SELECT p.doc_id, COUNT(*) n FROM posting p JOIN bench b USING (shingle) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1771,6 +1989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "pull_all_range": q_pull_all_range,
         "entity_mapping": q_entity_mapping,
+        "profile_stats": q_profile_stats,
+        "gopher_rules": q_gopher_rules,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1826,6 +2048,10 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _LEAKAGE_SPLIT_ORACLE,
         "pull_all_range": _PULL_ALL_ORACLE,
         "entity_mapping": _ENTITY_MAPPING_ORACLE,
+        "profile_stats": _PROFILE_STATS_ORACLE,
+        "gopher_rules": _GOPHER_ORACLE,
+        "pii_scrub": _PII_ORACLE,
+        "decontaminate": _DECON_ORACLE,
         # lsh_topk: intentionally rows-only — sign-bit LSH buckets hinge
         # on the SIGN of a float dot product; near-zero dots flip with
         # engine summation order, so no cross-engine SQL oracle can be

@@ -32,8 +32,20 @@ from feast_spark.online import LocalOnlineStore
 from feast_spark.operators.asof_join import point_in_time_join
 from feast_spark.operators.dedup import latest_row_dedup
 from feast_spark.session import get_spark
+from feast_spark.validation import (
+    DatasetProfiler,
+    Expect,
+    ValidationProfile,
+    ValidationReference,
+    validate_or_raise,
+)
 
 __all__ = [
+    "DatasetProfiler",
+    "Expect",
+    "ValidationProfile",
+    "ValidationReference",
+    "validate_or_raise",
     "FeatureLogger",
     "FileRegistry",
     "LocalOnlineStore",

@@ -75,11 +75,23 @@ class RetrievalJob:
     def __init__(self, df: DataFrame):
         self._df = df
 
-    def to_spark_df(self) -> DataFrame:
+    def _validated(self, validation_reference):
+        """Reference ``RetrievalJob.to_df(validation_reference)`` gate
+        (offline_store.py:76-184): validate the retrieval output against
+        the reference's profile BEFORE handing it out; failures raise
+        ``ValidationError`` with the failing-expectation diff."""
+        if validation_reference is not None:
+            from feast_spark.validation import validate_or_raise
+
+            profile = getattr(validation_reference, "profile", validation_reference)
+            validate_or_raise(self._df, profile)
         return self._df
 
-    def to_df(self) -> pd.DataFrame:
-        return self._df.toPandas()
+    def to_spark_df(self, validation_reference=None) -> DataFrame:
+        return self._validated(validation_reference)
+
+    def to_df(self, validation_reference=None) -> pd.DataFrame:
+        return self._validated(validation_reference).toPandas()
 
     def to_arrow(self):
         import pyarrow as pa

@@ -213,3 +213,166 @@ def winnowing_fingerprints(
         F.col("__prev").isNull() | (F.col("fingerprint") != F.col("__prev"))
     )
     return sel.select("id", "fingerprint").distinct()
+
+
+# --------------------------------------------------------------- curation ops
+_GOPHER_SYMBOLS = r"[#...…]"  # hash + ellipsis glyphs ("..." handled below)
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    max_dup_line_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    repetition/format filter battery used by most LLM corpus pipelines;
+    reimplemented from the published description):
+
+    * word count in [min_words, max_words],
+    * mean word length in [min, max],
+    * symbol-to-word ratio (``#`` or ellipsis) ≤ max_symbol_word_ratio,
+    * ≤ max_bullet_ratio of lines starting with a bullet,
+    * ≤ max_ellipsis_ratio of lines ending with an ellipsis,
+    * ≥ min_alpha_word_ratio of words containing ≥ 1 alphabetic char,
+    * duplicate-line fraction ≤ max_dup_line_ratio.
+
+    Appends one boolean per rule + ``gopher_pass`` (AND of all). Pure
+    codegen built-ins — per-row only, no shuffle, linear scan at any
+    scale. Thresholds are the paper's defaults; all keyword-tunable."""
+    t = F.col(text_col)
+    words = word_tokens(t)
+    n_words = F.size(words)
+    safe_words = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
+    n_chars_in_words = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = n_chars_in_words.cast("double") / safe_words
+    # '#' occurrences + ellipsis occurrences ('...' or the unicode glyph)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    n_ellipsis = F.size(F.split(t, r"\.\.\.|…")) - 1
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    safe_lines = F.when(n_lines > 0, n_lines.cast("double")).otherwise(F.lit(1.0))
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"^([-*•]|\d+[.)])"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+    dup_lines = n_lines - F.size(F.array_distinct(F.transform(lines, F.trim)))
+
+    checks = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_symbol_ratio": ((n_hash + n_ellipsis) / safe_words)
+        <= max_symbol_word_ratio,
+        "rule_bullet_ratio": (bullet_lines / safe_lines) <= max_bullet_ratio,
+        "rule_ellipsis_ratio": (ellipsis_lines / safe_lines) <= max_ellipsis_ratio,
+        "rule_alpha_ratio": (alpha_words / safe_words) >= min_alpha_word_ratio,
+        "rule_dup_line_ratio": (dup_lines / safe_lines) <= max_dup_line_ratio,
+    }
+    out = df
+    overall = F.lit(True)
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        overall = overall & F.col(name)
+    return out.withColumn("gopher_pass", overall)
+
+
+# PII patterns — deliberately lookaround-free so the same regex runs in
+# Java (Spark) and RE2 (DuckDB) with identical matches
+_PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?[0-9]{1,3}[-. (]{0,2}[0-9]{3}[-. )]{0,2}[0-9]{3}[-. ]?[0-9]{4}", "[PHONE]"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Redact common PII (emails, phone numbers, IPv4, SSN-shaped ids)
+    with typed placeholders and count replacements per kind — the
+    standard pre-training scrub pass. Chained ``regexp_replace`` only:
+    per-row codegen, no shuffle, no Python. Counts are computed BEFORE
+    replacement (``regexp_count``) so ``pii_total`` reports true hits
+    even when patterns overlap placeholders. Patterns avoid lookarounds
+    so a DuckDB (RE2) oracle matches byte-for-byte."""
+    kinds = list(kinds) if kinds is not None else list(_PII_PATTERNS)
+    t = F.col(text_col)
+    out = df
+    total = F.lit(0)
+    for k in kinds:
+        pat, _ = _PII_PATTERNS[k]
+        cnt = F.regexp_count(t, F.lit(pat))
+        out = out.withColumn(f"pii_{k}_count", cnt)
+        total = total + cnt
+    scrubbed = t
+    # order matters: scrub in declaration order; ipv4 after phone would
+    # not collide because phone requires 10+ digits in groups
+    for k in kinds:
+        pat, repl = _PII_PATTERNS[k]
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col or f"{text_col}_scrubbed", scrubbed).withColumn(
+        "pii_total", total
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a benchmark/eval set (the n-gram-overlap test-set
+    contamination check used for LLM corpora).
+
+    Physical plan for 100 TB: the BENCHMARK side is small (eval sets are
+    thousands of rows) — its distinct shingle set is broadcast; the
+    corpus is scanned once, shingles exploded (flatMap, no shuffle) and
+    matched with a broadcast semi-ish join, then one map-side-combinable
+    count per doc. Corpus never shuffles on shingle. Returns
+    (id, n_hits, contaminated)."""
+    from feast_spark.pipeline.dedup_text import word_shingles
+
+    bcol = bench_text_col or text_col
+    bench_shingles = (
+        benchmark.select(F.explode(word_shingles(F.col(bcol), n)).alias("__s"))
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+    )
+    hits = (
+        doc_shingles.join(F.broadcast(bench_shingles), on="__s", how="inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(hits, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

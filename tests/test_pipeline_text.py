@@ -256,3 +256,85 @@ def test_winnowing_fingerprints_properties(spark):
     assert len(sets[1] & sets[3]) <= 1
     # shorter than k: no fingerprints
     assert 4 not in sets
+
+
+def test_gopher_quality_rules(spark):
+    import pandas as pd
+
+    from feast_spark.pipeline.text import gopher_quality_rules
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog " * 10,  # clean
+                "- a\n- b\n- c",  # all bullets
+                "####### " * 20,  # symbol soup, no alpha
+                "same line\nsame line\nsame line\nother",  # dup lines
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = gopher_quality_rules(df, min_words=5).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "gopher_pass"])
+    assert not out.loc[2, "rule_bullet_ratio"]
+    assert not out.loc[3, "rule_alpha_ratio"]
+    assert not out.loc[3, "rule_symbol_ratio"]
+    assert not out.loc[4, "rule_dup_line_ratio"]
+    # empty text: no crash, word-count rule fails, ratios vacuous-pass
+    empty = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": [""]}))
+    e = gopher_quality_rules(empty, min_words=5).toPandas().iloc[0]
+    assert not e["rule_word_count"] and not e["gopher_pass"]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    import pandas as pd
+
+    from feast_spark.pipeline.text import pii_scrub
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "mail a.b+c@test.org and x@y.io; call +1 (555) 123-4567; "
+                "host 10.0.0.255; id 123-45-6789",
+                "no pii here",
+            ],
+        }
+    )
+    out = pii_scrub(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[1, "pii_email_count"] == 2
+    assert out.loc[1, "pii_phone_count"] == 1
+    assert out.loc[1, "pii_ipv4_count"] == 1
+    assert out.loc[1, "pii_ssn_count"] == 1
+    s = out.loc[1, "text_scrubbed"]
+    assert "[EMAIL]" in s and "[PHONE]" in s and "[IP]" in s and "[SSN]" in s
+    assert "@" not in s and "555" not in s
+    assert out.loc[2, "pii_total"] == 0
+    assert out.loc[2, "text_scrubbed"] == "no pii here"
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    import pandas as pd
+
+    from feast_spark.pipeline.text import decontaminate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon",  # overlaps bench
+                    "zeta eta theta iota kappa",  # disjoint
+                    "",  # empty -> never contaminated
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"text": ["the phrase alpha beta gamma appears here"]})
+    )
+    out = decontaminate(docs, bench, n=3).toPandas().set_index("id")
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 1
+    assert not out.loc[2, "contaminated"]
+    assert not out.loc[3, "contaminated"]
