@@ -1927,6 +1927,63 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
+
+
+def q_chunk_sequences(spark, sf_dir):
+    """Context-window chunking of token sequences: overlapping max_len
+    chunks (stride = max_len - overlap), flatMap-only (no shuffle).
+    Tokens derived deterministically from documents words (the same
+    portable-hash derivation the pack_sequences query uses)."""
+    from feast_spark.pipeline.sampling import chunk_sequences
+    from feast_spark.pipeline.text import portable_hash64
+
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
+    seqs = d.select(
+        "doc_id",
+        F.transform(
+            words, lambda w: F.pmod(portable_hash64(w), F.lit(50257)).cast("int")
+        ).alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens")).filter(F.col("n_tok") > 0)
+    out = chunk_sequences(seqs, max_len=32, overlap=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(",", F.transform("chunk_tokens", lambda t: t.cast("string")))
+        ).alias("chunk_md5"),
+    )
+
+
+_CHUNK_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+), docs AS (
+  SELECT doc_id,
+         list_transform(words,
+           w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 50257) AS toks,
+         len(words) AS n
+  FROM base WHERE len(words) > 0
+), counted AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 32 THEN 1
+              ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END AS nc
+  FROM docs
+), exploded AS (
+  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_idx FROM counted
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)]) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_transform(
+             toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)],
+             x -> CAST(x AS VARCHAR)), ',')) AS chunk_md5
+FROM exploded
+"""
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -1993,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "chunk_sequences": q_chunk_sequences,
     }
 
 
@@ -2052,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _GOPHER_ORACLE,
         "pii_scrub": _PII_ORACLE,
         "decontaminate": _DECON_ORACLE,
+        "chunk_sequences": _CHUNK_ORACLE,
         # lsh_topk: intentionally rows-only — sign-bit LSH buckets hinge
         # on the SIGN of a float dot product; near-zero dots flip with
         # engine summation order, so no cross-engine SQL oracle can be

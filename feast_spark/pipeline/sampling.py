@@ -250,3 +250,56 @@ def leakage_safe_split(
             F.lit("test"),
         ).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    max_len: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+) -> DataFrame:
+    """Split token sequences longer than ``max_len`` into overlapping
+    fixed-length chunks (stride = max_len - overlap) — the standard
+    context-window chunking for pre-tokenized training corpora.
+
+    Chunk starts are 0, stride, 2·stride, …; the LAST chunk is the one
+    whose window reaches the end of the sequence (it may be shorter
+    than ``max_len`` only when the whole sequence is; tail coverage is
+    total — every token appears in ≥ 1 chunk, boundary tokens in ≤ 2).
+    Sequences with ≤ max_len tokens yield themselves as chunk 0. Empty
+    sequences yield no rows.
+
+    Physical form: ``posexplode`` of a per-row computed chunk-index
+    range + ``slice`` — flatMap, whole-stage codegen, NO shuffle; at
+    10¹² sequences this is a pure linear scan whose output partitioning
+    inherits the input's. Returns id, chunk_idx, chunk_tokens,
+    chunk_len."""
+    if overlap >= max_len:
+        raise ValueError(f"overlap ({overlap}) must be < max_len ({max_len})")
+    stride = max_len - overlap
+    n = (
+        F.col(n_tok_col)
+        if n_tok_col and n_tok_col in df.columns
+        else F.size(F.col(tokens_col))
+    )
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= max_len, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(max_len)).cast("double") / stride).cast("int") + 1
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("__toks"),
+        F.posexplode(
+            F.when(
+                n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_idx", "__start_i"),
+    ).select(
+        "id",
+        "chunk_idx",
+        F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_len).alias(
+            "chunk_tokens"
+        ),
+    )
+    return out.withColumn("chunk_len", F.size("chunk_tokens"))

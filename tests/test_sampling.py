@@ -109,3 +109,40 @@ def test_replicated_sample_multiplicity(spark):
     assert 0 < half < n
     # zero factor -> empty
     assert replicated_sample(docs_df, 0.0).count() == 0
+
+
+def test_chunk_sequences_coverage_and_overlap(spark):
+    import pandas as pd
+    import pytest
+
+    from feast_spark.pipeline.sampling import chunk_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "tokens": [
+                list(range(100)),  # multi-chunk
+                list(range(10)),   # single short chunk
+                list(range(32)),   # exactly max_len -> one chunk
+                [],                # empty -> no rows
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, tokens array<int>")
+    out = chunk_sequences(df, max_len=32, overlap=8, n_tok_col=None).toPandas()
+    assert set(out[out["id"] == 4]["chunk_idx"]) == set()
+    assert list(out[out["id"] == 2]["chunk_len"]) == [10]
+    assert list(out[out["id"] == 3]["chunk_len"]) == [32]
+    g = out[out["id"] == 1].sort_values("chunk_idx")
+    # stride 24: starts 0,24,48,72 -> 4 chunks; tail covered
+    assert list(g["chunk_idx"]) == [0, 1, 2, 3]
+    toks = [list(c) for c in g["chunk_tokens"]]
+    assert toks[0][:5] == [0, 1, 2, 3, 4]
+    assert toks[1][0] == 24  # overlap of 8 with chunk 0 (24..31 shared)
+    assert toks[0][-8:] == toks[1][:8]  # boundary tokens appear twice
+    covered = sorted({t for c in toks for t in c})
+    assert covered == list(range(100))  # every token in >= 1 chunk
+    assert toks[-1][-1] == 99  # tail reached
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_sequences(df, max_len=8, overlap=8)

@@ -6,6 +6,18 @@ efficiency = throughput_4N / (4 * throughput_N), target >= 0.8.
 Each level runs in a fresh JVM (subprocess) so executor-thread count and
 shuffle partitions are really different. Writes BENCH/BASELINE.md.
 
+The measurement input defaults to the THROUGHPUT-dominated shape
+(SPINE=4M rows, ~3M feature rows — ≥ ~70 s at local[2]), NOT bench.py's
+400k latency shape: the headline pipeline carries a fixed ~5 s of
+per-job overhead (codegen, stage scheduling, JVM service time) that
+does not shrink with cores, so at 400k rows wall time measures
+latency, not scaling — round-3 made the job ~3× faster per row and the
+overhead share at the small shape pushed apparent efficiency to 0.47
+while the identical code measured 0.898 at the 4M shape. The north
+rule's criterion is throughput scaling at 10¹²-sequence scale, where
+per-job overhead amortizes to nothing; the large shape is the honest
+proxy. Override with BENCH_SEQ_DOCS / BENCH_SPINE_ROWS.
+
 Usage: python tools/bench_scaling.py [N] [repeat]
 """
 
@@ -17,6 +29,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# throughput-dominated defaults (see module docstring); bench.py's own
+# env defaults (100k/400k) remain the latency shape for per-query medians
+os.environ.setdefault("BENCH_SEQ_DOCS", "500000")
+os.environ.setdefault("BENCH_SPINE_ROWS", "4000000")
 
 CHILD = r"""
 import json, os, sys, time
