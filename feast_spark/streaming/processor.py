@@ -274,3 +274,34 @@ def stream_enrich(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication by key.
+
+    ``within_watermark=True`` (default) uses
+    ``dropDuplicatesWithinWatermark`` — state for a key is EVICTED once
+    the watermark passes it, so state size is bounded by (keys arriving
+    within one watermark window), the only formulation that survives an
+    unbounded 10¹²-event stream. Duplicate events separated by more
+    than the watermark delay are NOT deduplicated — that is the
+    documented trade-off, matching at-least-once ingestion where
+    retries arrive within seconds. ``within_watermark=False`` uses
+    plain ``dropDuplicates`` (exact across the whole stream, state
+    grows without bound — only for bounded backfills).
+
+    The reference's foreachBatch pandas dedup
+    (spark_kafka_processor.py:402-406) deduplicates only WITHIN each
+    micro-batch; this operator deduplicates ACROSS batches with bounded
+    state — strictly stronger semantics at the same cost class."""
+    wm = df.withWatermark(ts_col, watermark_delay)
+    cols = [*keys]
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(cols)
+    return wm.dropDuplicates(cols)

@@ -21,7 +21,7 @@ def stress_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("stress")
     docs = pd.DataFrame(
         {
-            "doc_id": list(range(8)),
+            "doc_id": list(range(10)),
             "text": [
                 "plain simple text here",
                 "tabbed\ttext\twith\ttabs here",
@@ -31,9 +31,11 @@ def stress_dir(spark, tmp_path_factory):
                 "MIXED \t Case\n  And   Gaps",
                 "tabbed\ttext\twith\ttabs here",  # dup of doc 1 (after norm)
                 "x",
+                "mail a.b+c@test.org\tcall +1 (555) 123-4567\nip 10.0.0.1 ssn 123-45-6789",
+                "- bullet\n- bullet\n1. numbered…\nsame\nsame\n###",
             ],
-            "lang": ["en"] * 8,
-            "source": ["s0"] * 8,
+            "lang": ["en"] * 10,
+            "source": ["s0"] * 10,
             "n_chars": [len(t) for t in [
                 "plain simple text here",
                 "tabbed\ttext\twith\ttabs here",
@@ -43,6 +45,8 @@ def stress_dir(spark, tmp_path_factory):
                 "MIXED \t Case\n  And   Gaps",
                 "tabbed\ttext\twith\ttabs here",
                 "x",
+                "mail a.b+c@test.org\tcall +1 (555) 123-4567\nip 10.0.0.1 ssn 123-45-6789",
+                "- bullet\n- bullet\n1. numbered…\nsame\nsame\n###",
             ]],
         }
     )
@@ -61,6 +65,10 @@ def stress_dir(spark, tmp_path_factory):
         "token_counts",
         "winnowing",
         "pack_sequences",
+        "gopher_rules",
+        "pii_scrub",
+        "decontaminate",
+        "chunk_sequences",
     ],
 )
 def test_oracle_matches_on_hostile_whitespace(spark, stress_dir, qname):

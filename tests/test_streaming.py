@@ -321,3 +321,50 @@ def test_stream_enrich_pit_join_per_batch(spark, tmp_path):
     assert got[("a", ts0 + pd.Timedelta(hours=3))] == 2.0
     assert pd.isna(got[("b", ts0 + pd.Timedelta(days=40))])
     assert pd.isna(got[("ghost", ts0 + pd.Timedelta(hours=1))])
+
+
+def test_stream_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches (within the
+    watermark window) are dropped — stronger than the reference's
+    per-batch pandas dedup. State is watermark-bounded."""
+    from feast_spark.streaming.processor import stream_dedup
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    ts = pd.Timestamp("2024-01-01 00:00:00")
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "event_timestamp": [ts, ts + pd.Timedelta(seconds=5)],
+            "created": [ts, ts],
+            "n_tok": [1, 2],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "doc_id": ["a", "c"],  # 'a' is a cross-batch duplicate
+            "event_timestamp": [ts, ts + pd.Timedelta(seconds=9)],
+            "created": [ts, ts],
+            "n_tok": [1, 3],
+        }
+    )
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    datagen.to_spark(spark, batch1).coalesce(1).write.mode("append").parquet(src)
+    datagen.to_spark(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = stream_dedup(stream, ["doc_id"], "event_timestamp", "10 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == ["a", "b", "c"]  # one 'a' only
