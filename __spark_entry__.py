@@ -1722,6 +1722,16 @@ def q_profile_stats(spark, sf_dir):
     summation differs ~1e-12 relative; 4-digit rounding is stable)."""
     from feast_spark.validation import DatasetProfiler
 
+    import math
+
+    def _r4(x):
+        # half-AWAY-FROM-ZERO to 4 digits — matching DuckDB/Spark round();
+        # Python's built-in round() is banker's (half-to-even) and would
+        # diverge from the SQL oracle on exact .xxxx5 boundaries
+        if x is None:
+            return None
+        return math.copysign(math.floor(abs(float(x)) * 1e4 + 0.5), float(x)) / 1e4
+
     ev = _events(spark, sf_dir).select("value", "event_type")
     profile = DatasetProfiler(columns=["value", "event_type"]).analyze(ev)
     rows = []
@@ -1730,8 +1740,8 @@ def q_profile_stats(spark, sf_dir):
             (
                 e.kind,
                 e.column or ",".join(e.columns),
-                round(float(e.value), 4) if e.value is not None else None,
-                round(float(e.value_hi), 4) if e.value_hi is not None else None,
+                _r4(e.value),
+                _r4(e.value_hi),
                 ",".join(map(str, e.value_set)) if e.value_set else None,
             )
         )
@@ -1754,12 +1764,9 @@ WITH stats AS (
               ELSE greatest(abs(mx), 1.0) END * 0.1 AS t
   FROM stats
 )
-SELECT 'columns_ordered' AS kind, 'value,event_type' AS "column",
-       CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+SELECT 'row_count_between' AS kind, '' AS "column",
+       round(greatest(0.0, n * 0.5), 4) AS lo, round(n * 1.5, 4) AS hi,
        CAST(NULL AS VARCHAR) AS detail FROM tol
-UNION ALL
-SELECT 'row_count_between', '',
-       round(greatest(0.0, n * 0.5), 4), round(n * 1.5, 4), NULL FROM tol
 UNION ALL
 SELECT 'null_ratio_max', 'value', round(least(1.0, nul_v + 0.05), 4), NULL, NULL FROM tol
 UNION ALL
@@ -1815,7 +1822,7 @@ WITH words AS (
   SELECT w.doc_id,
          len(w.w) n_words,
          CASE WHEN len(w.w) > 0 THEN CAST(len(w.w) AS DOUBLE) ELSE 1.0 END sw,
-         list_sum(list_transform(w.w, x -> length(x))) n_chars_in_words,
+         length(regexp_replace(w.text, '\s', '', 'g')) n_chars_in_words,
          length(w.text) - length(replace(w.text, '#', '')) n_hash,
          len(regexp_split_to_array(w.text, '\.\.\.|…')) - 1 n_ellipsis,
          len(l.ls) n_lines,

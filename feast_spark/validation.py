@@ -166,8 +166,9 @@ class ValidationProfile:
                 measured, ok = float(n), n <= e.value
                 expected = f"<= {e.value}"
             elif e.kind == "row_count_between":
-                measured, ok = float(n), e.value <= n <= e.value_hi
-                expected = f"[{e.value}, {e.value_hi}]"
+                hi = e.value_hi if e.value_hi is not None else float("inf")
+                measured, ok = float(n), e.value <= n <= hi
+                expected = f"[{e.value}, {e.value_hi if e.value_hi is not None else 'unbounded'}]"
             elif e.kind == "columns_ordered":
                 measured = float(list(df.columns) == list(e.columns))
                 ok = bool(measured)
@@ -323,14 +324,24 @@ class DatasetProfiler:
         row = df.agg(*aggs).first()
         n = int(row["__n"])
 
-        ex: list[Expect] = [
-            Expect("columns_ordered", columns=tuple(df.columns)),
+        # columns_ordered pins the FULL frame schema — only meaningful
+        # when the whole frame was profiled; under a `columns`
+        # restriction the caller validates frames that intentionally
+        # carry just those columns, so schema pinning would reject
+        # conforming data
+        ex: list[Expect] = []
+        if self.columns is None:
+            ex.append(Expect("columns_ordered", columns=tuple(df.columns)))
+        ex.append(
             Expect(
                 "row_count_between",
                 value=max(0.0, n * (1 - self.row_count_slack)),
-                value_hi=n * (1 + self.row_count_slack) if n else float("inf"),
-            ),
-        ]
+                # None = unbounded (an empty reference observes no
+                # ceiling); float("inf") would also break to_json —
+                # RFC 8259 has no Infinity literal
+                value_hi=n * (1 + self.row_count_slack) if n else None,
+            )
+        )
         for c in numeric:
             lo, hi = row[f"__min_{c}"], row[f"__max_{c}"]
             nul = float(row[f"__nul_{c}"] or 0.0)
@@ -365,7 +376,10 @@ class DatasetProfiler:
                     .limit(self.max_value_set_size + 1)
                     .collect()
                 ]
-                if len(vals) <= self.max_value_set_size:
+                # all-NULL column -> vals == []: the set is unobservable
+                # (an empty value_set would fail EVERY future non-null
+                # value), mirror the numeric all-NULL skip
+                if vals and len(vals) <= self.max_value_set_size:
                     ex.append(Expect("values_in_set", column=c, value_set=tuple(sorted(map(str, vals))) if all(isinstance(v, str) for v in vals) else tuple(vals)))
         return ValidationProfile(ex)
 

@@ -166,14 +166,19 @@ def test_pack_sequences_auto_shards_giant_stream(spark):
     # a block never spans a shard boundary: every doc's week == its
     # block's shard (checked via conservation + per-shard block ids)
 
-    # under the threshold: unchanged schema, no shard column
+    # under the threshold: shard column STILL present (schema is a pure
+    # function of the parameter, never the data) with the constant ""
+    # and packing identical to the unsharded assignment
     plain = pack_sequences(df, block_tokens=512, max_stream_rows=10_000).toPandas()
-    assert "shard" not in plain.columns
+    assert "shard" in plain.columns and set(plain["shard"]) == {""}
     assert plain["n_tokens"].sum() == pdf["n_tok"].sum()
 
-    # probe disabled: never shards
+    # probe disabled: legacy shape, no shard column, same packing
     off = pack_sequences(df, block_tokens=512, max_stream_rows=None).toPandas()
     assert "shard" not in off.columns
+    a = plain.sort_values(["source", "block_id"]).reset_index(drop=True)
+    b = off.sort_values(["source", "block_id"]).reset_index(drop=True)
+    assert a["n_tokens"].tolist() == b["n_tokens"].tolist()
 
 
 # ------------------------------------------------------ row-id fast path
@@ -253,3 +258,115 @@ def test_row_id_assume_unique_skips_probe_and_window(spark):
     plan = stamped._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" not in plan.lower()
     assert stamped.toPandas()[SPINE_ROW_ID].is_unique
+
+
+# --------------------------------------------- code-review round-3 fixes
+def test_stream_dedup_exact_path_keeps_late_rows(spark, tmp_path):
+    """within_watermark=False must NOT attach a watermark: Spark's
+    streaming dedup drops rows older than the watermark even when the
+    event-time column is not a dedup key — silent data loss on
+    out-of-event-time-order backfills."""
+    from pyspark.sql import types as T
+
+    from feast_spark.streaming.processor import stream_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("event_timestamp", T.TimestampType()),
+        ]
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    # batch 1 carries a RECENT event; batch 2 an event >1h older
+    b1 = pd.DataFrame({"doc_id": ["new"], "event_timestamp": [ts]})
+    b2 = pd.DataFrame(
+        {"doc_id": ["late"], "event_timestamp": [ts - pd.Timedelta(hours=2)]}
+    )
+    datagen.to_spark(spark, b1).coalesce(1).write.mode("append").parquet(src)
+    datagen.to_spark(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    dd = stream_dedup(
+        stream, ["doc_id"], "event_timestamp", "10 minutes", within_watermark=False
+    )
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == ["late", "new"]  # late row SURVIVES
+
+
+def test_profiler_skips_value_set_for_all_null_categorical(spark):
+    from feast_spark.validation import DatasetProfiler
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "c": [None, None]})
+    df = spark.createDataFrame(pdf, "a double, c string")
+    profile = DatasetProfiler().analyze(df)
+    assert not [e for e in profile.expectations if e.kind == "values_in_set"]
+    # a later frame where the optional column has real values must pass
+    later = spark.createDataFrame(
+        pd.DataFrame({"a": [1.5], "c": ["now-populated"]}), "a double, c string"
+    )
+    rep = profile.run(later)
+    bad = [e for e in rep.errors if e.check_name == "values_in_set"]
+    assert not bad
+
+
+def test_profile_json_is_strict_rfc_even_for_empty_reference(spark):
+    import json
+
+    from feast_spark.validation import DatasetProfiler, ValidationProfile
+
+    empty = spark.createDataFrame([], "a double, c string")
+    profile = DatasetProfiler().analyze(empty)
+    payload = profile.to_json()
+    # allow_nan=False parse proves no Infinity/NaN literal in the payload
+    parsed = json.loads(payload, parse_constant=lambda c: (_ for _ in ()).throw(
+        ValueError(f"non-RFC constant {c} in profile JSON")
+    ))
+    assert isinstance(parsed, list)
+    restored = ValidationProfile.from_json(payload)
+    rcb = [e for e in restored.expectations if e.kind == "row_count_between"][0]
+    assert rcb.value_hi is None  # unbounded, not inf
+
+
+def test_restricted_profile_validates_restricted_frame(spark):
+    from feast_spark.validation import DatasetProfiler
+
+    pdf = pd.DataFrame({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf, "id long, v double")
+    profile = DatasetProfiler(columns=["v"]).analyze(df)
+    # validating a frame holding exactly the profiled column must pass
+    assert profile.run(df.select("v")).is_success
+    assert not [e for e in profile.expectations if e.kind == "columns_ordered"]
+
+
+def test_salted_repartition_modes(spark):
+    import pytest as _pt
+
+    from feast_spark.operators.skew import salted_repartition
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["hot"] * 100, "v": [1.0] * 100})
+    )
+    with _pt.raises(ValueError, match="salt_mode"):
+        salted_repartition(df, ["doc_id"], salt_mode="bogus")
+    # content mode: identical rows collapse (documented), rows intact
+    c = salted_repartition(df, ["doc_id"], shards=8, salt_mode="content")
+    assert c.count() == 100
+    # salt diversity (partition counts are AQE-coalesced at this size,
+    # so assert on the salt itself): content mode collapses identical
+    # rows to ONE shard; positional mode spreads them
+    from feast_spark.operators.skew import with_salt
+
+    n_content = with_salt(df, shards=8, deterministic=True).select("__salt").distinct().count()
+    n_positional = with_salt(df, shards=8).select("__salt").distinct().count()
+    assert n_content == 1 and n_positional > 1
+    p = salted_repartition(df, ["doc_id"], shards=8, salt_mode="positional")
+    assert p.count() == 100
