@@ -1,9 +1,10 @@
 """End-to-end training-data pipeline composing the whole engine.
 
-documents → quality filter → language filter → exact + near dedup →
-tokenize (deterministic stand-in) → token-sequence feature table →
-materialize (manifest/resume) → PIT retrieval with windowed features →
-training set.
+documents → PII scrub → quality/Gopher-rule filter → language filter →
+exact + near dedup → benchmark decontamination → tokenize
+(deterministic stand-in) → context-window chunking → token-sequence
+feature table → materialize (manifest/resume) → PIT retrieval with
+windowed features → training set (+ validation profile gate).
 
 Run: PYTHONPATH=. python examples/training_pipeline.py [sf_dir] [out_dir]
 
@@ -38,7 +39,14 @@ from feast_spark.pipeline.sampling import (
     leakage_safe_split,
     pack_sequences,
 )
-from feast_spark.pipeline.text import detect_language, quality_features
+from feast_spark.pipeline.text import (
+    decontaminate,
+    detect_language,
+    gopher_quality_rules,
+    pii_scrub,
+    quality_features,
+)
+from feast_spark.validation import DatasetProfiler
 
 
 def fake_tokenize(df, text_col="text", vocab=50257):
@@ -54,9 +62,19 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stats = {"input_docs": docs.count()}
 
-    # 1. quality + language filter (JVM-side expressions only)
-    scored = detect_language(quality_features(docs))
-    kept = scored.filter((F.col("quality_score") >= 0.3) & (F.col("n_words") >= 3))
+    # 0. PII scrub FIRST — redacted text feeds every downstream stage
+    #    (chained codegen regexp_replace; counts kept for auditing)
+    docs = (
+        pii_scrub(docs)
+        .drop("text")
+        .withColumnRenamed("text_scrubbed", "text")
+    )
+
+    # 1. quality + Gopher-rule + language filter (JVM-side expressions)
+    scored = detect_language(quality_features(gopher_quality_rules(docs, min_words=3)))
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.3) & (F.col("n_words") >= 3) & F.col("gopher_pass")
+    )
     stats["after_quality"] = kept.count()
 
     # 2. exact dedup, then MinHash-LSH near-dup removal (drop the larger
@@ -67,6 +85,16 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     groups = dedup_groups_from_pairs(kept, near).persist()  # transitive closure
     kept = kept.join(groups.filter("keep").select("doc_id"), on="doc_id", how="left_semi")
     stats["after_near_dedup"] = kept.count()
+
+    # 2a2. benchmark decontamination: drop training docs sharing any
+    # word 3-gram with the (here: pseudo) benchmark set — broadcast
+    # benchmark shingles, corpus never shuffles on shingle
+    bench = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(211)) == 0).limit(50)
+    contaminated = (
+        decontaminate(kept, bench).filter("contaminated").select(F.col("id").alias("doc_id"))
+    )
+    kept = kept.join(contaminated, on="doc_id", how="left_anti")
+    stats["after_decontamination"] = kept.count()
 
     # 2b. deterministic (rerun-stable) subsample for the mixture budget;
     # persist — several counts and the staging write below reuse `kept`,
@@ -138,10 +166,15 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     feats.write.mode("overwrite").parquet(train_path)
     stats["training_rows"] = spark.read.parquet(train_path).count()
 
-    # 6. pack retrieved sequences into fixed-budget training blocks —
-    # TRAIN-side documents only (the step-2c split gates packing, so
-    # test-group content never lands in a training block)
-    packed = pack_sequences(
+    # 6. context-window chunking, then pack into fixed-budget training
+    # blocks — TRAIN-side documents only (the step-2c split gates
+    # packing, so test-group content never lands in a training block).
+    # Chunking caps any sequence at 512 tokens (stride 448, 64-token
+    # overlap, full tail coverage) so one megadoc cannot monopolize a
+    # block; both steps are flatMap/groupBy only.
+    from feast_spark.pipeline.sampling import chunk_sequences
+
+    train_seqs = (
         spark.read.parquet(train_path)
         .join(train_ids, on="doc_id", how="left_semi")
         .filter(F.col("feat_n_tok").isNotNull())
@@ -150,6 +183,20 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
             F.col("feat_tokens").alias("tokens"),
             F.col("feat_n_tok").alias("n_tok"),
             F.col("feat_source").alias("source"),
+        )
+    )
+    chunked = chunk_sequences(train_seqs, max_len=512, overlap=64, n_tok_col="n_tok")
+    stats["chunks"] = chunked.count()
+    packed = pack_sequences(
+        chunked.join(
+            train_seqs.select("doc_id", "event_timestamp", "source"),
+            chunked["id"] == F.col("doc_id"),
+        ).select(
+            F.concat_ws("#", "doc_id", F.col("chunk_idx").cast("string")).alias("doc_id"),
+            "event_timestamp",
+            F.col("chunk_tokens").alias("tokens"),
+            F.col("chunk_len").alias("n_tok"),
+            "source",
         ),
         block_tokens=2048,
     )
@@ -179,6 +226,17 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
         ["sequences:tokens", "sequences:n_tok"],
     )
     stats["saved_dataset_rows"] = ds.metadata.row_count
+
+    # 7b. derive a validation profile from the saved dataset and gate a
+    # (re)retrieval through it — the great-expectations-style drift
+    # check a production pipeline runs on every refresh
+    profile = DatasetProfiler(
+        columns=["feat_n_tok", "feat_source"]
+    ).analyze(ds.to_spark_df(spark))
+    gated = RetrievalJob(spark.read.parquet(train_path)).to_spark_df(
+        validation_reference=profile
+    )
+    stats["validated_rows"] = gated.count()
 
     # 8. serving log with a frozen schema contract (training/serving
     #    skew analysis replays exactly what was served)
