@@ -1991,6 +1991,86 @@ SELECT doc_id,
 FROM exploded
 """
 
+
+
+def q_ngram_repetition(spark, sf_dir):
+    """Within-doc duplicate/top n-gram fractions (Gopher token-level
+    repetition rules)."""
+    from feast_spark.pipeline.text import ngram_repetition
+
+    out = ngram_repetition(_docs(spark, sf_dir), n=2)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+        "dup_ngram_fraction",
+        "top_ngram_fraction",
+    )
+
+
+_NGRAM_REP_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') w FROM norm
+), grams AS (
+  SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_transform(
+                  generate_series(1, len(w) - 1), i -> concat(w[i], ' ', w[i+1]))
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END gs
+  FROM words
+), exploded AS (
+  SELECT doc_id, unnest(gs) g FROM grams
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) c FROM exploded GROUP BY 1, 2
+), stats AS (
+  SELECT doc_id, SUM(c) total, COUNT(*) dist, MAX(c) top FROM per_gram GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.total, 0) AS BIGINT) AS total_ngrams,
+       CAST(COALESCE(s.dist, 0) AS BIGINT) AS distinct_ngrams,
+       round(1.0 - s.dist / CAST(s.total AS DOUBLE), 6) AS dup_ngram_fraction,
+       round(s.top / CAST(s.total AS DOUBLE), 6) AS top_ngram_fraction
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-relative unigram fluency score (KenLM-filter stand-in)."""
+    from feast_spark.pipeline.text import unigram_logprob_score
+
+    out = unigram_logprob_score(_docs(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_neg_log2p",
+    )
+
+
+_UNIGRAM_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') nt FROM documents
+), words AS (
+  SELECT doc_id, unnest(list_filter(string_split(nt, ' '), x -> x <> '')) w FROM norm
+), freq AS (
+  SELECT w, COUNT(*) c FROM words GROUP BY 1
+), tot AS (
+  SELECT SUM(c) total, COUNT(*) vocab FROM freq
+), scored AS (
+  SELECT wo.doc_id,
+         COUNT(*) n_words,
+         round(AVG(-log2((f.c + 0.5) / (t.total + 0.5 * t.vocab))), 6) mean_neg_log2p
+  FROM words wo JOIN freq f USING (w) CROSS JOIN tot t
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+       s.mean_neg_log2p
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2058,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "chunk_sequences": q_chunk_sequences,
+        "ngram_repetition": q_ngram_repetition,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -2118,6 +2200,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_ORACLE,
         "decontaminate": _DECON_ORACLE,
         "chunk_sequences": _CHUNK_ORACLE,
+        "ngram_repetition": _NGRAM_REP_ORACLE,
+        "unigram_logprob": _UNIGRAM_ORACLE,
         # lsh_topk: intentionally rows-only — sign-bit LSH buckets hinge
         # on the SIGN of a float dot product; near-zero dots flip with
         # engine summation order, so no cross-engine SQL oracle can be

@@ -381,3 +381,108 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document n-gram repetition stats — the "duplicate n-gram
+    fraction" battery from the Gopher rules (Rae et al. 2021 A1.1) that
+    ``gopher_quality_rules`` does not cover (those are line-level;
+    these are token-level):
+
+    * ``total_ngrams`` / ``distinct_ngrams`` over the normalized word
+      n-grams (ALL occurrences, not the deduplicated shingle set),
+    * ``dup_ngram_fraction`` = 1 − distinct/total — how much of the
+      document is re-tread,
+    * ``top_ngram_fraction`` = occurrences of the single most frequent
+      n-gram / total — boilerplate/template detector.
+
+    Physical plan: explode n-grams (flatMap, keeps ALL occurrences) →
+    one (id, gram) count aggregate → one id-level merge (sum / count /
+    max — all map-side combinable). Two shuffles on narrow rows;
+    per-doc work linear. Docs with < n words produce one whole-text
+    gram (fractions well-defined); empty docs are returned with zero
+    counts and NULL fractions."""
+    nt = normalize_text(F.col(text_col))
+    pat = r"(?:(?<= )|^)(?=(" + r"\S+ " * (n - 1) + r"\S+))"
+    words = F.filter(F.split(nt, " "), lambda x: x != "")
+    nw = F.size(words)
+    # ALL occurrences (word_shingles distincts — wrong here)
+    grams = (
+        F.when(nw >= n, F.regexp_extract_all(nt, F.lit(pat), 1))
+        .when(nw > 0, F.array(F.concat_ws(" ", words)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__g"))
+    per_gram = exploded.groupBy("id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    stats = per_gram.groupBy("id").agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("__c").alias("__top"),
+    )
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        all_ids.join(stats, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            F.round(
+                1.0 - F.col("distinct_ngrams") / F.col("total_ngrams"), 6
+            ).alias("dup_ngram_fraction"),
+            F.round(F.col("__top") / F.col("total_ngrams"), 6).alias(
+                "top_ngram_fraction"
+            ),
+        )
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-relative fluency score: mean unigram negative log2
+    probability per word (the cheap stand-in for a KenLM perplexity
+    filter — low scores ≈ made of common words, high ≈ rare-word soup;
+    both tails are the usual cut candidates).
+
+    Probabilities come from the corpus itself in one pass:
+    word counts (one map-side-combinable aggregate) → total; each
+    document's words join the (broadcast when small) frequency table
+    and average −log2((c + smoothing) / (total + smoothing·V)).
+    Deterministic, engine-portable arithmetic (round 6)."""
+    nt = normalize_text(F.col(text_col))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(nt, " "), lambda x: x != "")).alias("__w"),
+    )
+    freq = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = freq.agg(
+        F.sum("__c").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    ).first()
+    total, vocab = totals["__total"] or 0, totals["__vocab"] or 0
+    denom = float(total + smoothing * vocab)
+    scored = (
+        words.join(freq, on="__w")
+        .withColumn(
+            "__nlp",
+            -F.log2((F.col("__c") + F.lit(smoothing)) / F.lit(denom)),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg("__nlp"), 6).alias("mean_neg_log2p"),
+        )
+    )
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(scored, on="id", how="left").select(
+        "id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        "mean_neg_log2p",
+    )

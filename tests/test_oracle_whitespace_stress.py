@@ -69,6 +69,8 @@ def stress_dir(spark, tmp_path_factory):
         "pii_scrub",
         "decontaminate",
         "chunk_sequences",
+        "ngram_repetition",
+        "unigram_logprob",
     ],
 )
 def test_oracle_matches_on_hostile_whitespace(spark, stress_dir, qname):

@@ -338,3 +338,56 @@ def test_decontaminate_flags_overlap_only(spark):
     assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 1
     assert not out.loc[2, "contaminated"]
     assert not out.loc[3, "contaminated"]
+
+
+def test_ngram_repetition_detects_boilerplate(spark):
+    import pandas as pd
+
+    from feast_spark.pipeline.text import ngram_repetition
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "buy now " * 20,                    # one bigram repeated
+                "all words here are fully unique",  # no repetition
+                "",                                 # empty
+            ],
+        }
+    )
+    out = (
+        ngram_repetition(spark.createDataFrame(pdf), n=2)
+        .toPandas()
+        .set_index("id")
+    )
+    assert out.loc[1, "top_ngram_fraction"] > 0.4  # 'buy now'/'now buy' dominate
+    assert out.loc[1, "dup_ngram_fraction"] > 0.9
+    assert out.loc[2, "dup_ngram_fraction"] == 0.0
+    assert out.loc[2, "top_ngram_fraction"] == pd.Series([1 / 5]).round(6)[0]
+    assert out.loc[3, "total_ngrams"] == 0 and pd.isna(out.loc[3, "dup_ngram_fraction"])
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    import pandas as pd
+
+    from feast_spark.pipeline.text import unigram_logprob_score
+
+    # 'common' appears many times; 'xylophone...' words once each
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "common common common common",
+                "xylophone quixotic zephyr",
+                "",
+            ],
+        }
+    )
+    out = (
+        unigram_logprob_score(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("id")
+    )
+    # common-word doc scores LOWER (more probable) than rare-word doc
+    assert out.loc[1, "mean_neg_log2p"] < out.loc[2, "mean_neg_log2p"]
+    assert out.loc[3, "n_words"] == 0 and pd.isna(out.loc[3, "mean_neg_log2p"])
