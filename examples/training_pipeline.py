@@ -89,7 +89,10 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     # 2a2. benchmark decontamination: drop training docs sharing any
     # word 3-gram with the (here: pseudo) benchmark set — broadcast
     # benchmark shingles, corpus never shuffles on shingle
-    bench = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(211)) == 0).limit(50)
+    # hash-threshold selection (NO unordered limit — limit without an
+    # ordering is nondeterministic across re-evaluations of the plan,
+    # and this lineage executes more than once)
+    bench = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(211)) == 0)
     contaminated = (
         decontaminate(kept, bench).filter("contaminated").select(F.col("id").alias("doc_id"))
     )
@@ -185,14 +188,23 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
             F.col("feat_source").alias("source"),
         )
     )
-    chunked = chunk_sequences(train_seqs, max_len=512, overlap=64, n_tok_col="n_tok")
+    # chunk on a ROW-unique id (doc_id alone is NOT unique here — the
+    # PIT spine yields one row per (doc, event time), so joining chunks
+    # back on doc_id would fan out m×m and duplicate training content)
+    train_seqs = train_seqs.withColumn(
+        "seq_id",
+        F.concat_ws("|", "doc_id", F.unix_micros("event_timestamp").cast("string")),
+    )
+    chunked = chunk_sequences(
+        train_seqs, max_len=512, overlap=64, id_col="seq_id", n_tok_col="n_tok"
+    )
     stats["chunks"] = chunked.count()
     packed = pack_sequences(
         chunked.join(
-            train_seqs.select("doc_id", "event_timestamp", "source"),
-            chunked["id"] == F.col("doc_id"),
+            train_seqs.select("seq_id", "event_timestamp", "source"),
+            chunked["id"] == F.col("seq_id"),
         ).select(
-            F.concat_ws("#", "doc_id", F.col("chunk_idx").cast("string")).alias("doc_id"),
+            F.concat_ws("#", "seq_id", F.col("chunk_idx").cast("string")).alias("doc_id"),
             "event_timestamp",
             F.col("chunk_tokens").alias("tokens"),
             F.col("chunk_len").alias("n_tok"),

@@ -106,6 +106,14 @@ def salted_repartition(
     """
     if salt_mode not in ("content", "positional"):
         raise ValueError(f"salt_mode must be 'content' or 'positional', got {salt_mode!r}")
+    if salt_on is not None and salt_mode == "positional":
+        # with_salt's `on` branch would silently win and the caller's
+        # explicit positional request (e.g. because salt_on is known
+        # low-cardinality) would be ignored
+        raise ValueError(
+            "salt_on and salt_mode='positional' are contradictory — "
+            "positional salting ignores the column; pass one or the other"
+        )
     salted = with_salt(
         df, shards=shards, on=salt_on, deterministic=(salt_mode == "content")
     )

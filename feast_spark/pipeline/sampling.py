@@ -178,8 +178,17 @@ def pack_sequences(
         )
     group_cols = stream_cols + (["shard"] if max_stream_rows is not None else [])
     tokens_type = df.schema[tokens_col].dataType
+    # the shard field is declared explicitly (always nullable string):
+    # copying df.schema["shard"] would flip nullability between the
+    # lit("") and date_trunc forms — a data-triggered schema change the
+    # pure-function-of-the-parameter guarantee forbids
     out_schema = T.StructType(
-        [df.schema[c] for c in group_cols]
+        [
+            T.StructField("shard", T.StringType(), True)
+            if c == "shard"
+            else df.schema[c]
+            for c in group_cols
+        ]
         + [
             T.StructField("block_id", T.LongType()),
             T.StructField("n_docs", T.LongType()),

@@ -409,7 +409,7 @@ def ngram_repetition(
     counts and NULL fractions."""
     nt = normalize_text(F.col(text_col))
     pat = r"(?:(?<= )|^)(?=(" + r"\S+ " * (n - 1) + r"\S+))"
-    words = F.filter(F.split(nt, " "), lambda x: x != "")
+    words = word_tokens(nt)
     nw = F.size(words)
     # ALL occurrences (word_shingles distincts — wrong here)
     grams = (
@@ -452,27 +452,34 @@ def unigram_logprob_score(
     filter — low scores ≈ made of common words, high ≈ rare-word soup;
     both tails are the usual cut candidates).
 
-    Probabilities come from the corpus itself in one pass:
-    word counts (one map-side-combinable aggregate) → total; each
-    document's words join the (broadcast when small) frequency table
-    and average −log2((c + smoothing) / (total + smoothing·V)).
+    Probabilities come from the corpus itself, fully LAZILY (no eager
+    driver action at plan-build time): word counts (one
+    map-side-combinable aggregate, PERSISTED — the totals aggregate and
+    the per-word join both read it; the returned lazy plan keeps the
+    reference, so batch drivers should ``spark.catalog.clearCache()``
+    between jobs, same contract as the dedup-pipeline persists) →
+    one-row totals frame broadcast-cross-joined into the plan (the
+    same shape as the oracle's ``CROSS JOIN tot``); each document's
+    words average −log2((c + smoothing) / (total + smoothing·V)).
     Deterministic, engine-portable arithmetic (round 6)."""
     nt = normalize_text(F.col(text_col))
     words = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.filter(F.split(nt, " "), lambda x: x != "")).alias("__w"),
+        F.explode(word_tokens(nt)).alias("__w"),
     )
-    freq = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    freq = words.groupBy("__w").agg(F.count(F.lit(1)).alias("__c")).persist()
     totals = freq.agg(
         F.sum("__c").alias("__total"), F.count(F.lit(1)).alias("__vocab")
-    ).first()
-    total, vocab = totals["__total"] or 0, totals["__vocab"] or 0
-    denom = float(total + smoothing * vocab)
+    )
     scored = (
         words.join(freq, on="__w")
+        .crossJoin(F.broadcast(totals))
         .withColumn(
             "__nlp",
-            -F.log2((F.col("__c") + F.lit(smoothing)) / F.lit(denom)),
+            -F.log2(
+                (F.col("__c") + F.lit(smoothing))
+                / (F.col("__total") + F.lit(smoothing) * F.col("__vocab"))
+            ),
         )
         .groupBy("id")
         .agg(
