@@ -180,3 +180,55 @@ def test_bucketed_feature_table_skips_feature_shuffle(spark, ev, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.sql("DROP TABLE IF EXISTS clicks_bucketed_test")
+
+
+def test_per_row_curation_ops_have_no_exchange(spark):
+    """gopher_quality_rules, pii_scrub, and chunk_sequences are
+    per-row/flatMap only — a shuffle appearing in their plans would be
+    a scale regression (these run over every document of the corpus)."""
+    from feast_spark.pipeline.sampling import chunk_sequences
+    from feast_spark.pipeline.text import gopher_quality_rules, pii_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        gopher_quality_rules(docs),
+        pii_scrub(docs),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan[:1500]
+    seqs = docs.selectExpr(
+        "doc_id", "array(1,2,3,4,5,6,7,8) as tokens"
+    )
+    plan = _plan(chunk_sequences(seqs, max_len=4, overlap=1, n_tok_col=None))
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must reach the corpus join as a
+    broadcast — a sort-merge join here would shuffle the whole corpus
+    on shingle, exactly what the operator exists to avoid."""
+    from feast_spark.pipeline.text import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.limit(5)
+    plan = _plan(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    # the corpus posting side must NOT be hash-shuffled on the shingle
+    # column for the join (only the per-doc count aggregate shuffles on id)
+    assert "hashpartitioning(__s" not in plan, plan[:2000]
+
+
+def test_unigram_logprob_totals_are_broadcast_lazy(spark):
+    """unigram_logprob_score keeps the corpus totals INSIDE the lazy
+    plan (broadcast nested-loop of a 1-row frame) — no eager driver
+    action at build time."""
+    from feast_spark.pipeline.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = unigram_logprob_score(docs)  # plan build must launch no job
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
