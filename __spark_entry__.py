@@ -2071,6 +2071,68 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN scored s USING (doc_id)
 """
 
+
+
+def _lsh_topk_oracle() -> str:
+    """Full SQL replay of lsh_topk (quantized signatures): the sign
+    bits come from EXACT int64 dots over floor(x*1e6+0.5)-quantized
+    vectors and planes — bit-identical on any engine — so the whole
+    bucket → multiprobe → rerank pipeline replays in DuckDB. Float
+    arithmetic only enters at the final cosine, rounded to 6 (same
+    tolerance class as the embedding_dups oracle)."""
+    from feast_spark.pipeline.similarity import _hyperplanes, quantize_planes
+
+    planes = quantize_planes(_hyperplanes(64, 8, 42))
+    bit_terms = []
+    for b, row in enumerate(planes):
+        arr = "[" + ",".join(str(int(x)) for x in row) + "]"
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> q[i] * ({arr}::BIGINT[])[i])) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    sig_expr = "\n        + ".join(bit_terms)
+    masks = [0] + [1 << i for i in range(8)] + [
+        (1 << i) | (1 << j) for i in range(8) for j in range(i + 1, 8)
+    ]
+    mask_list = "[" + ",".join(str(m) for m in masks) + "]"
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         embedding,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) q
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, embedding,
+         {sig_expr} AS s,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM qv
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+         xor(s, m) AS bucket
+  FROM sig, unnest({mask_list}::BIGINT[]) AS t(m)
+  WHERE vec_id < 20
+), pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(p.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (p.qn * c.nrm), 6) AS cosine
+  FROM probes p JOIN sig c ON c.s = p.bucket AND c.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank,
+       cosine
+FROM ranked WHERE rank <= 3
+"""
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2202,9 +2264,11 @@ def oracle_sql() -> dict[str, str]:
         "chunk_sequences": _CHUNK_ORACLE,
         "ngram_repetition": _NGRAM_REP_ORACLE,
         "unigram_logprob": _UNIGRAM_ORACLE,
-        # lsh_topk: intentionally rows-only — sign-bit LSH buckets hinge
-        # on the SIGN of a float dot product; near-zero dots flip with
-        # engine summation order, so no cross-engine SQL oracle can be
-        # exact. Recall@k vs brute force is golden-tested in
+        # lsh_topk: oracle-paired since round 3 — the signatures are now
+        # computed over INTEGER-quantized vectors/planes (exact int64
+        # dots, floor(x*1e6+0.5) on both engines), which removed the
+        # float-sign-bit portability gap that kept this rows-only in
+        # rounds 1-2. Recall@k vs brute force remains golden-tested in
         # tests/test_pipeline_similarity.py.
+        "lsh_topk": _lsh_topk_oracle(),
     }
