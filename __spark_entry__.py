@@ -816,7 +816,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
-# ------------------- approximate ops: rows-only checks --------------------
+# ---- approximate ops (oracle-paired since r03 via quantized signatures) ----
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -2080,7 +2080,11 @@ def _lsh_topk_oracle() -> str:
     bucket → multiprobe → rerank pipeline replays in DuckDB. Float
     arithmetic only enters at the final cosine, rounded to 6 (same
     tolerance class as the embedding_dups oracle)."""
-    from feast_spark.pipeline.similarity import _hyperplanes, quantize_planes
+    from feast_spark.pipeline.similarity import (
+        QUANT_SCALE,
+        _hyperplanes,
+        quantize_planes,
+    )
 
     planes = quantize_planes(_hyperplanes(64, 8, 42))
     bit_terms = []
@@ -2100,7 +2104,7 @@ WITH qv AS (
   SELECT vec_id,
          embedding,
          list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) q
+           x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5) AS BIGINT)) q
   FROM embeddings
 ), sig AS (
   SELECT vec_id, embedding,

@@ -194,39 +194,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of ``vec`` against each hyperplane, packed to
-    a long (bucket id).
-
-    One Arrow-batched numpy matmul against the (tiny, closure-captured)
-    plane matrix computes ALL plane dots per batch — the previous
-    per-plane ``aggregate`` expression was CodegenFallback (interpreted
-    per element × per plane), which dominated corpus-side index build at
-    scale (VERDICT r01)."""
-    from pyspark.sql.functions import pandas_udf
-
-    P = np.asarray(planes, dtype=np.float64)  # n_planes x dim
-    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
-
-    def sig_fn(v):
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (m @ P.T) > 0
-        return pd.Series((bits @ weights).astype(np.int64))
-
-    sig_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf("long")(sig_fn)(vec)
+# ONE quantization scale shared by plane quantization, the vector
+# quantization inside lsh_sig_norm, and the DuckDB oracle generator —
+# three independent copies of the constant would be a silent-desync trap
+QUANT_SCALE = 1_000_000
 
 
-def quantize_planes(planes: list[list[float]], scale: int = 1_000_000) -> list[list[int]]:
-    """Integer-quantized hyperplanes: ``floor(p·scale + 0.5)`` per
+def quantize_planes(planes: list[list[float]]) -> list[list[int]]:
+    """Integer-quantized hyperplanes: ``floor(p·QUANT_SCALE + 0.5)`` per
     element. ``floor(x + 0.5)`` (NOT language round()) so every engine
     — numpy, DuckDB, Java — lands on the identical integer regardless
     of its half-rounding convention."""
     import math
 
-    return [[int(math.floor(x * scale + 0.5)) for x in row] for row in planes]
+    return [[int(math.floor(x * QUANT_SCALE + 0.5)) for x in row] for row in planes]
 
 
 def lsh_sig_norm(
@@ -267,7 +248,17 @@ def lsh_sig_norm(
                                  "norm": pd.Series([], dtype="float64")})
         m = np.stack(v.to_numpy()).astype(np.float64)
         if q:
-            mq = np.floor(m * 1e6 + 0.5).astype(np.int64)
+            # guard the exact-int64 contract: |x| beyond ~1e5 (quantized
+            # ~1e11, times a ~1e6 plane over 64 dims) approaches int64
+            # wrap, which numpy does SILENTLY while DuckDB raises —
+            # wrong buckets plus oracle divergence. NaN→int is undefined.
+            if not np.isfinite(m).all() or np.abs(m).max(initial=0.0) > 1e5:
+                raise ValueError(
+                    "quantized LSH signatures need finite embeddings with "
+                    "|x| <= 1e5 (unit-scale vectors); normalize first or "
+                    "pass quantize=False"
+                )
+            mq = np.floor(m * QUANT_SCALE + 0.5).astype(np.int64)
             bits = (mq @ P.T) > 0
         else:
             bits = (m @ P.T) > 0
@@ -307,17 +298,21 @@ def lsh_topk(
     carry a full cross-engine SQL oracle for this query."""
     planes = _hyperplanes(dim, n_planes, seed)
     # materialize the signature once per query row, THEN derive the
-    # multiprobe variants with cheap XORs — never re-invoke the UDF
+    # multiprobe variants with cheap XORs — never re-invoke the UDF.
+    # General Hamming radius: every bit-subset of size <= multiprobe
+    # (sum of C(n_planes, r) masks — callers choosing large radii are
+    # explicitly buying that probe fan-out)
+    from itertools import combinations
+
     base_sig = F.col("__sig")
-    probe_sigs = [base_sig]
-    if multiprobe >= 1:
-        probe_sigs += [base_sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    if multiprobe >= 2:
-        probe_sigs += [
-            base_sig.bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    masks = [0]
+    for r in range(1, min(multiprobe, n_planes) + 1):
+        for combo in combinations(range(n_planes), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    probe_sigs = [base_sig.bitwiseXOR(F.lit(m)) if m else base_sig for m in masks]
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
