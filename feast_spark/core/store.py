@@ -49,7 +49,13 @@ def _path_has_output(path: str) -> bool:
     if not os.path.isdir(path):
         return False
     for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if d != "_manifest" and not d.startswith(".")]
+        # prune EVERY underscore-prefixed directory, not just _manifest:
+        # a crashed write leaves part files under _temporary/<attempt>/,
+        # and those part files do NOT start with '_' — walking into the
+        # debris would make a fresh out_path look like real output and
+        # let materialize_incremental adopt another path's registry
+        # interval (the exact hole this gate exists to prevent)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         if any(not f.startswith((".", "_")) for f in files):
             return True
     return False

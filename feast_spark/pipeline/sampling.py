@@ -162,6 +162,14 @@ def pack_sequences(
 
     stream_cols = list(stream_cols)
     shard = False
+    if max_stream_rows is not None and "shard" in df.columns:
+        # mirror the SPINE_ROW_ID idempotency care: silently overwriting a
+        # user 'shard' column would change the grouping semantics
+        raise ValueError(
+            "input already has a 'shard' column, which pack_sequences "
+            "reserves when max_stream_rows is set — rename it or pass "
+            "max_stream_rows=None"
+        )
     if max_stream_rows is not None:
         top = (
             df.groupBy(*stream_cols)
@@ -284,9 +292,11 @@ def chunk_sequences(
     context-window chunking for pre-tokenized training corpora.
 
     Chunk starts are 0, stride, 2·stride, …; the LAST chunk is the one
-    whose window reaches the end of the sequence (it may be shorter
-    than ``max_len`` only when the whole sequence is; tail coverage is
-    total — every token appears in ≥ 1 chunk, boundary tokens in ≤ 2).
+    whose window reaches the end of the sequence. The tail chunk may be
+    shorter than ``max_len`` (its start is never clamped back to
+    ``n - max_len``): e.g. max_len=512, overlap=64, n=513 yields chunks
+    of 512 and 65 tokens. Coverage is total — every token appears in
+    ≥ 1 chunk, and overlap-region tokens in exactly 2.
     Sequences with ≤ max_len tokens yield themselves as chunk 0. Empty
     sequences yield no rows.
 

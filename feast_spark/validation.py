@@ -119,6 +119,13 @@ class ValidationProfile:
             elif e.kind == "max_at_most":
                 aggs.append(F.max(e.column).cast("double").alias(f"__m{i}"))
             elif e.kind == "mean_between":
+                if e.value_hi is None:
+                    # fail fast with a clear message instead of a TypeError
+                    # ('<=' between float and None) deep in the result loop
+                    raise ValueError(
+                        "mean_between requires value_hi (upper bound); "
+                        f"got value_hi=None for column {e.column!r}"
+                    )
                 aggs.append(F.avg(F.col(e.column).cast("double")).alias(f"__m{i}"))
             elif e.kind == "stddev_at_most":
                 aggs.append(F.stddev_samp(F.col(e.column).cast("double")).alias(f"__m{i}"))

@@ -1,0 +1,95 @@
+"""Round-4 regression tests: the five ADVICE r03 fixes.
+
+* _path_has_output ignores crashed-write debris under `_temporary/`
+  (any underscore-prefixed directory is pruned, not just `_manifest`),
+* ValidationProfile rejects mean_between with value_hi=None up front
+  with a descriptive error (not a TypeError deep in validate()),
+* pack_sequences raises when the input already carries a 'shard'
+  column instead of silently overwriting it,
+* chunk_sequences tail-chunk behavior (doc fix — the property that the
+  tail may be shorter than max_len is pinned here),
+* lsh_topk quantized-path precondition raise (documented in README) is
+  already covered in tests/test_pipeline_similarity.py.
+"""
+
+import pandas as pd
+import pytest
+
+from feast_spark.core.store import _path_has_output
+from feast_spark.pipeline.sampling import chunk_sequences, pack_sequences
+from feast_spark.validation import Expect, ValidationProfile
+
+
+# ------------------------------------------------------- _path_has_output
+def test_path_has_output_ignores_temporary_debris(tmp_path):
+    """part files under _temporary/ (a crashed Spark write) must NOT count
+    as real output — otherwise materialize_incremental would adopt the
+    registry interval of another path and leave a silent hole."""
+    out = tmp_path / "out"
+    debris = out / "_temporary" / "0" / "task_202601_0001_m_000000"
+    debris.mkdir(parents=True)
+    (debris / "part-00000-attempt.snappy.parquet").write_bytes(b"x")
+    assert not _path_has_output(str(out))
+
+    # a real committed part file at any depth still counts
+    part_dir = out / "event_date=2024-01-01"
+    part_dir.mkdir(parents=True)
+    (part_dir / "part-00000-c000.snappy.parquet").write_bytes(b"x")
+    assert _path_has_output(str(out))
+
+
+def test_path_has_output_still_ignores_manifest_and_hidden(tmp_path):
+    out = tmp_path / "out"
+    (out / "_manifest").mkdir(parents=True)
+    (out / "_manifest" / "000001.json").write_text("{}")
+    (out / "_SUCCESS").write_bytes(b"")
+    (out / ".hidden.crc").write_bytes(b"")
+    assert not _path_has_output(str(out))
+
+
+# ------------------------------------------------------------- validation
+def test_mean_between_without_upper_bound_raises_clearly(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0]}))
+    prof = ValidationProfile([Expect("mean_between", column="x", value=0.0)])
+    with pytest.raises(ValueError, match="mean_between requires value_hi"):
+        prof.validate(df)
+
+
+# ---------------------------------------------------------- pack_sequences
+def test_pack_sequences_rejects_preexisting_shard_column(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["a"],
+                "event_timestamp": pd.to_datetime(["2024-01-01"]),
+                "tokens": [[1, 2]],
+                "n_tok": [2],
+                "source": ["web"],
+                "shard": ["user-owned"],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="'shard' column"):
+        pack_sequences(df, block_tokens=4)
+    # max_stream_rows=None never injects the column, so user 'shard' is fine
+    out = pack_sequences(df, block_tokens=4, max_stream_rows=None)
+    assert "shard" not in out.columns
+
+
+# --------------------------------------------------------- chunk_sequences
+def test_chunk_tail_may_be_shorter_than_max_len(spark):
+    """max_len=8, overlap=2, n=9 → chunks of 8 and 3 tokens (tail is NOT
+    clamped back to n - max_len); total coverage, overlap tokens twice."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d"], "tokens": [list(range(9))], "n_tok": [9]})
+    )
+    rows = (
+        chunk_sequences(df, max_len=8, overlap=2)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [list(r.chunk_tokens) for r in rows] == [
+        list(range(8)),
+        [6, 7, 8],
+    ]
+    assert [r.chunk_len for r in rows] == [8, 3]
