@@ -39,13 +39,18 @@ def connected_components(
     """Label every vertex with the minimum vertex id of its component.
 
     Returns (id, component). Plan per round: (1) propagate each vertex's
-    current label across edges (join + min-aggregate), (2) pointer-
-    double: ``component := component(component)`` (one self-join) — the
-    shortcutting step that makes long chains collapse in O(log diameter)
-    rounds instead of O(diameter). Stops when no label changed; raises
-    RuntimeError if ``max_iters`` is exhausted while labels are still
-    changing (pass ``raise_on_nonconverged=False`` to get the partial
-    labels plus a warning instead — never silent).
+    current label across edges — ONE join + one min-aggregate over the
+    self-loop-augmented edge list (the (u,u) row carries the vertex's
+    own label through the same aggregate, so the old formulation's
+    separate labels-side left join is gone: ``min`` over
+    {own ∪ neighbors} IS ``least(own, neighbor_min)`` and the self-loop
+    row doubles as the ``__old`` carrier for the convergence metric),
+    (2) pointer-double: ``component := component(component)`` (one
+    self-join) — the shortcutting step that makes long chains collapse
+    in O(log diameter) rounds instead of O(diameter). Stops when no
+    label changed; raises RuntimeError if ``max_iters`` is exhausted
+    while labels are still changing (pass ``raise_on_nonconverged=False``
+    to get the partial labels plus a warning instead — never silent).
 
     The per-round convergence check is FREE: the old label rides along
     and an ``observe()`` metric counts changes during the SAME action
@@ -61,28 +66,28 @@ def connected_components(
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct().persist()
-    labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .persist()
-    )
+    ).distinct()
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    # self-loop-augmented edge list: one (u,u) row per vertex. The loop
+    # row folds the vertex's OWN label into the neighbor min (so no
+    # separate labels join is needed) and, tagged by v == u, carries the
+    # pre-round label out of the aggregate for the convergence metric.
+    sym_loops = sym.unionByName(
+        verts.select(F.col("id").alias("u"), F.col("id").alias("v"))
+    ).persist()
+    labels = verts.withColumn("component", F.col("id")).persist()
     changed = 0
     for it in range(max_iters):
-        # neighbor labels: for each vertex u, min over v-neighbors' labels
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("id", "v"), on="v")
+        propagated = (
+            sym_loops.join(labels.withColumnRenamed("id", "v"), on="v")
             .groupBy("u")
-            .agg(F.min("component").alias("nmin"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(
+                    F.when(F.col("v") == F.col("u"), F.col("component"))
+                ).alias("__old"),
+            )
             .withColumnRenamed("u", "id")
-        )
-        propagated = labels.join(neighbor_min, on="id", how="left").select(
-            "id",
-            F.col("component").alias("__old"),
-            F.least(F.col("component"), F.coalesce("nmin", "component")).alias(
-                "component"
-            ),
         )
         # pointer doubling: follow the label one more hop. Labels are
         # vertex ids, so looking the label up in the label table jumps
@@ -116,7 +121,7 @@ def connected_components(
         labels = checkpointed.select("id", "component")
         if changed == 0:
             break
-    sym.unpersist()
+    sym_loops.unpersist()
     if changed != 0:
         msg = (
             f"connected_components did not converge in {max_iters} iterations "
