@@ -104,6 +104,106 @@ def stratified_sample(
     return df.filter(thresh if thresh is not None else F.lit(False))
 
 
+# coarse→fine refinement ladder for pack_sequences auto-sharding; units
+# coarser than 'day' refine through day then hour before hash-splitting
+_SHARD_LADDER_TAIL = {"day": ["hour"], "hour": []}
+
+
+def _shard_str(unit: str, col: Column) -> Column:
+    """Render a date_trunc'd timestamp as the shard label: date string
+    for day-or-coarser units (round-3-compatible), full timestamp string
+    at hour granularity."""
+    t = F.date_trunc(unit, col)
+    return t.cast("string") if unit == "hour" else t.cast("date").cast("string")
+
+
+def _assign_adaptive_shard(
+    df: DataFrame,
+    stream_cols: list,
+    id_col: str,
+    ts_col: str,
+    max_rows: int,
+    unit: str,
+) -> DataFrame:
+    """Inject the adaptive ``shard`` column (see pack_sequences docs).
+
+    One probe shuffle at the finest ladder granularity; every coarser
+    count derives from the probe result. Over-threshold decision tables
+    are ≤ total_rows/max_rows entries each (an over cell holds > max_rows
+    rows), eagerly localCheckpointed, and broadcast onto the data — the
+    data itself is scanned once and never shuffled here."""
+    ladder = [unit] + _SHARD_LADDER_TAIL.get(unit, ["day", "hour"])
+    fine = ladder[-1]
+    counts = (
+        df.groupBy(*stream_cols, F.date_trunc(fine, F.col(ts_col)).alias("__t"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    top = (
+        counts.groupBy(*stream_cols)
+        .agg(F.sum("__c").alias("__n"))
+        .agg(F.max("__n").alias("m"))
+        .first()
+    )
+    if not (top["m"] and top["m"] > max_rows):
+        counts.unpersist()
+        return df.withColumn("shard", F.lit(""))
+
+    overs = []  # (unit, over-cells DataFrame keyed by stream_cols + __t)
+    for u in ladder[:-1]:
+        overs.append(
+            (
+                u,
+                counts.groupBy(*stream_cols, F.date_trunc(u, "__t").alias("__t"))
+                .agg(F.sum("__c").alias("__c"))
+                .filter(F.col("__c") > max_rows)
+                .select(*stream_cols, "__t")
+                .localCheckpoint(eager=True),
+            )
+        )
+    # finest level: over cells also carry the hash-split fan-out
+    over_fine = (
+        counts.filter(F.col("__c") > max_rows)
+        .select(
+            *stream_cols,
+            "__t",
+            F.ceil(F.col("__c") / F.lit(max_rows)).cast("int").alias("__nsplit"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts.unpersist()
+
+    out = df
+    for i, (u, over) in enumerate(overs):
+        key = f"__l{i}"
+        out = out.withColumn(key, F.date_trunc(u, F.col(ts_col))).join(
+            F.broadcast(over.select(*stream_cols, F.col("__t").alias(key), F.lit(True).alias(f"__over{i}"))),
+            on=stream_cols + [key],
+            how="left",
+        )
+    fkey = f"__l{len(overs)}"
+    out = out.withColumn(fkey, F.date_trunc(fine, F.col(ts_col))).join(
+        F.broadcast(over_fine.select(*stream_cols, F.col("__t").alias(fkey), "__nsplit")),
+        on=stream_cols + [fkey],
+        how="left",
+    )
+    # first level whose cell is NOT over the threshold wins; an hour cell
+    # still over it hash-splits deterministically
+    shard = F.concat(
+        _shard_str(fine, F.col(ts_col)),
+        F.lit("#"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsplit")).cast("string"),
+    )
+    shard = F.when(F.col("__nsplit").isNull(), _shard_str(fine, F.col(ts_col))).otherwise(shard)
+    for i, (u, _) in reversed(list(enumerate(overs))):
+        shard = F.when(F.col(f"__over{i}").isNull(), _shard_str(u, F.col(ts_col))).otherwise(shard)
+    out = out.withColumn("shard", shard)
+    drop = [f"__l{i}" for i in range(len(overs) + 1)] + [
+        f"__over{i}" for i in range(len(overs))
+    ] + ["__nsplit"]
+    return out.drop(*drop)
+
+
 def pack_sequences(
     df: DataFrame,
     block_tokens: int = 2048,
@@ -128,16 +228,26 @@ def pack_sequences(
 
     AUTO-SHARDING (the 100 TB guard): one pandas group per stream means
     a single giant stream serializes on one task. With
-    ``max_stream_rows`` set (the default), a cheap probe
-    (``groupBy(stream).count`` — map-side-combinable, #streams result
-    rows) runs first; when the largest stream exceeds it, a coarse time
-    shard (``date_trunc`` of ``ts_col`` at ``shard_time_unit``) is
-    injected into the grouping, so every shard packs in parallel.
+    ``max_stream_rows`` set (the default), ONE probe aggregation
+    (``groupBy(stream, hour)`` counts — map-side-combinable; coarser
+    per-day/week/stream counts derive from it without rescanning the
+    data) runs first; when the largest stream exceeds the threshold, a
+    time shard starting at ``shard_time_unit`` is injected into the
+    grouping, so every shard packs in parallel. The shard is ADAPTIVE:
+    any (stream, shard) cell still over the threshold refines down the
+    ladder ``shard_time_unit → day → hour``, and a cell that exceeds it
+    within a single HOUR falls back to a deterministic hash split
+    (``xxhash64(id) mod ceil(count/max)``) with its own block space —
+    no stream shape can serialize packing on one task. The set of
+    over-threshold cells is bounded by ``total_rows / max_stream_rows``
+    (each over cell holds > max rows), so the refinement decision
+    tables broadcast-join onto the data — the only full-data shuffle is
+    the final per-(stream, shard) grouping itself.
     Block-reset semantics: ``block_id`` restarts per (stream, shard) —
     the unique block key is (stream cols, shard, block_id) — and a
     block NEVER spans a shard boundary, so the final possibly-underfull
     block of each shard is the standard sharded-packing trade-off
-    (≤ one underfull block per stream per time unit).
+    (≤ one underfull block per stream per shard cell).
 
     SCHEMA IS A PURE FUNCTION OF THE PARAMETER, never of the data:
     whenever ``max_stream_rows`` is set the output ALWAYS carries the
@@ -171,18 +281,8 @@ def pack_sequences(
             "max_stream_rows=None"
         )
     if max_stream_rows is not None:
-        top = (
-            df.groupBy(*stream_cols)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .agg(F.max("__n").alias("m"))
-            .first()
-        )
-        shard = bool(top["m"] and top["m"] > max_stream_rows)
-        df = df.withColumn(
-            "shard",
-            F.date_trunc(shard_time_unit, F.col(ts_col)).cast("date").cast("string")
-            if shard
-            else F.lit(""),
+        df = _assign_adaptive_shard(
+            df, stream_cols, id_col, ts_col, int(max_stream_rows), shard_time_unit
         )
     group_cols = stream_cols + (["shard"] if max_stream_rows is not None else [])
     tokens_type = df.schema[tokens_col].dataType

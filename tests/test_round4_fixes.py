@@ -76,6 +76,81 @@ def test_pack_sequences_rejects_preexisting_shard_column(spark):
     assert "shard" not in out.columns
 
 
+# ------------------------------------------- adaptive pack_sequences shard
+def _mk_stream(spark, n, ts_fn):
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            "event_timestamp": [ts_fn(i) for i in range(n)],
+            "tokens": [[i % 7, (i + 1) % 7] for i in range(n)],
+            "n_tok": np.full(n, 2, dtype="int64"),
+            "source": "hot",
+        }
+    )
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_pack_shard_refines_inside_single_week(spark):
+    """VERDICT r03 #3: a stream whose rows all land in ONE week must not
+    pack on one task — the week cell refines to day shards."""
+    t0 = pd.Timestamp("2024-01-01")  # Monday: days 0-5 share one ISO week
+    pdf, df = _mk_stream(spark, 240, lambda i: t0 + pd.Timedelta(hours=i % 144))
+    out = pack_sequences(df, block_tokens=8, max_stream_rows=50).toPandas()
+    shards = set(out["shard"])
+    assert len(shards) > 1, "single-week hot stream still packs on one shard"
+    # day labels (YYYY-MM-DD), not the single week label
+    assert all(len(s) == 10 for s in shards), shards
+    assert len(shards) == 6
+    assert out["n_tokens"].sum() == pdf["n_tok"].sum()
+    assert out["n_docs"].sum() == len(pdf)
+    for _, grp in out.groupby(["source", "shard"]):
+        assert sorted(grp["block_id"]) == list(range(len(grp)))
+
+
+def test_pack_shard_hash_splits_inside_single_hour(spark):
+    """The bottom of the ladder: everything in one hour → deterministic
+    hash split, block space reset per split."""
+    t0 = pd.Timestamp("2024-01-01 03:00:00")
+    pdf, df = _mk_stream(spark, 200, lambda i: t0 + pd.Timedelta(seconds=i % 60))
+    out = pack_sequences(df, block_tokens=8, max_stream_rows=40).toPandas()
+    shards = sorted(set(out["shard"]))
+    assert len(shards) == 5  # ceil(200/40)
+    assert all("#" in s and s.startswith("2024-01-01 03:00:00") for s in shards)
+    assert out["n_tokens"].sum() == pdf["n_tok"].sum()
+    assert out["n_docs"].sum() == len(pdf)
+    for _, grp in out.groupby(["source", "shard"]):
+        assert sorted(grp["block_id"]) == list(range(len(grp)))
+    # deterministic: a rerun assigns identical shards
+    again = pack_sequences(df, block_tokens=8, max_stream_rows=40).toPandas()
+    a = out.sort_values(["shard", "block_id"]).reset_index(drop=True)
+    b = again.sort_values(["shard", "block_id"]).reset_index(drop=True)
+    assert a[["shard", "block_id", "n_docs", "n_tokens"]].equals(
+        b[["shard", "block_id", "n_docs", "n_tokens"]]
+    )
+
+
+def test_pack_shard_mixed_ladder_levels(spark):
+    """Streams under the threshold keep the coarse week label while an
+    over-threshold week refines — the ladder is per-cell, not global."""
+    t0 = pd.Timestamp("2024-01-01")
+    # week 1: 20 rows (under max=50 → week label); week 2: 120 rows
+    # spread over 6 days (over → day labels)
+    def ts(i):
+        if i < 20:
+            return t0 + pd.Timedelta(hours=i)
+        return t0 + pd.Timedelta(days=7 + (i % 6), hours=i % 24)
+
+    pdf, df = _mk_stream(spark, 140, ts)
+    out = pack_sequences(df, block_tokens=8, max_stream_rows=50).toPandas()
+    shards = set(out["shard"])
+    assert "2024-01-01" in shards  # week-1 label stays at week granularity
+    day_shards = {s for s in shards if s >= "2024-01-08"}
+    assert len(day_shards) == 6
+    assert out["n_tokens"].sum() == pdf["n_tok"].sum()
+
+
 # --------------------------------------------------------- chunk_sequences
 def test_chunk_tail_may_be_shorter_than_max_len(spark):
     """max_len=8, overlap=2, n=9 → chunks of 8 and 3 tokens (tail is NOT
