@@ -80,8 +80,52 @@ def headline_job(spark) -> tuple[float, int]:
     return time.monotonic() - t0, SPINE_ROWS
 
 
+def _isolated_main() -> None:
+    """BENCH_ISOLATE=1: run the headline and EVERY query in its own
+    fresh python/JVM subprocess, then merge the per-piece JSON. Late-
+    suite numbers cannot be contaminated by accumulated JVM pressure
+    (VERDICT r03 #6 observed a 3× late-suite drift on one query in a
+    55-query session while the op itself was stable when fresh).
+    Diagnostic mode — one JVM start (~10 s) per piece."""
+    import subprocess
+
+    import __spark_entry__ as entrymod
+
+    names = ["__headline__"] + list(entrymod.queries().keys())
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",")}
+        names = [n for n in names if n in keep]
+    merged: dict = {}
+    for name in names:
+        env = dict(os.environ, BENCH_ISOLATE="0", BENCH_ONLY=name)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+        piece = json.loads(line)
+        if not merged:
+            merged = piece
+        else:
+            merged["queries"].update(piece.get("queries", {}))
+            merged["queries_detail"].update(piece.get("queries_detail", {}))
+            if piece.get("headline_rows"):
+                merged["value"] = piece["value"]
+                merged["headline_rows"] = piece["headline_rows"]
+    merged["isolated"] = True
+    print(json.dumps(merged))
+
+
 def main() -> None:
     import statistics
+
+    if os.environ.get("BENCH_ISOLATE") == "1":
+        _isolated_main()
+        return
 
     from feast_spark.session import get_spark
 
@@ -95,6 +139,8 @@ def main() -> None:
     # reported is a MEDIAN of BENCH_RUNS runs (default 3) with the raw
     # runs preserved in "queries_detail".
     runs = int(os.environ.get("BENCH_RUNS", "3"))
+    only = os.environ.get("BENCH_ONLY")
+    keep = {n.strip() for n in only.split(",")} if only else None
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
 
@@ -107,16 +153,20 @@ def main() -> None:
             "runs": [round(s, 3) for s in samples],
         }
 
-    # headline: one warmup (JIT/codegen), then BENCH_RUNS timed runs
-    headline_job(spark)
-    samples, rows = [], 0
-    for _ in range(runs):
-        secs, rows = headline_job(spark)
-        samples.append(secs)
-    record("headline_asof_window_materialization", samples)
-    throughput = rows / timings["headline_asof_window_materialization"]
+    throughput, rows = 0.0, 0
+    if keep is None or "__headline__" in keep:
+        # headline: one warmup (JIT/codegen), then BENCH_RUNS timed runs
+        headline_job(spark)
+        samples = []
+        for _ in range(runs):
+            secs, rows = headline_job(spark)
+            samples.append(secs)
+        record("headline_asof_window_materialization", samples)
+        throughput = rows / timings["headline_asof_window_materialization"]
 
     for name, fn in entrymod.queries().items():
+        if keep is not None and name not in keep:
+            continue
         samples = []
         for _ in range(runs):
             t0 = time.monotonic()
@@ -127,6 +177,10 @@ def main() -> None:
             # (also keeps every run cache-cold — comparable)
             spark.catalog.clearCache()
         record(name, samples)
+        # nudge the JVM to collect between queries so garbage from query
+        # N doesn't inflate query N+40's times (measured late-suite
+        # drift, VERDICT r03 #4); one System.gc() hint costs ~10 ms
+        spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(
