@@ -1771,7 +1771,12 @@ def q_profile_stats(spark, sf_dir):
         return math.copysign(math.floor(abs(float(x)) * 1e4 + 0.5), float(x)) / 1e4
 
     ev = _events(spark, sf_dir).select("value", "event_type")
-    profile = DatasetProfiler(columns=["value", "event_type"]).analyze(ev)
+    # quantiles=(): quantile_between bounds come from a percentile
+    # SKETCH (rank error <= n/accuracy), which no exact SQL replay can
+    # reproduce bit-for-bit — the quantile kind is drift-tested in
+    # tests/test_round4_fixes.py instead; every exactly-replayable
+    # profiler formula stays under this oracle
+    profile = DatasetProfiler(columns=["value", "event_type"], quantiles=()).analyze(ev)
     rows = []
     for e in profile.expectations:
         rows.append(

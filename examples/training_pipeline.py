@@ -250,6 +250,24 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
     )
     stats["validated_rows"] = gated.count()
 
+    # 7c. negative control: a drifted refresh (token counts doubled —
+    # upstream tokenizer change) must be REJECTED by the same profile;
+    # the quantile expectations catch distribution-shape drift even when
+    # coarser moments stay in band
+    from feast_spark.validation import ValidationError
+
+    drifted = spark.read.parquet(train_path).withColumn(
+        "feat_n_tok", (F.col("feat_n_tok") * 2).cast("int")
+    )
+    try:
+        RetrievalJob(drifted).to_spark_df(validation_reference=profile)
+        raise AssertionError("drifted refresh passed the validation gate")
+    except ValidationError as err:
+        stats["drift_gate"] = "rejected"
+        stats["drift_failed_checks"] = sorted(
+            {c for c in ("quantile_between", "mean_between", "max_at_most") if c in str(err)}
+        )
+
     # 8. serving log with a frozen schema contract (training/serving
     #    skew analysis replays exactly what was served)
     logger = FeatureLogger(os.path.join(out_dir, "serving_log"))

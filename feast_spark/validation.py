@@ -28,6 +28,7 @@ Check-name mapping to great_expectations for readers of the reference:
 ``columns_ordered`` ≈ expect_table_columns_to_match_ordered_list,
 ``min_at_least``/``max_at_most`` ≈ expect_column_min/max_to_be_between,
 ``mean_between`` ≈ expect_column_mean_to_be_between,
+``quantile_between`` ≈ expect_column_quantile_values_to_be_between,
 ``stddev_at_most`` ≈ expect_column_stdev_to_be_between,
 ``values_in_set`` ≈ expect_column_values_to_be_in_set,
 ``null_ratio_max`` ≈ expect_column_values_to_not_be_null(mostly=...).
@@ -47,8 +48,12 @@ from pyspark.sql import functions as F
 class Expect:
     """One expectation. kinds: row_count_min, row_count_max,
     row_count_between, null_ratio_max, min_at_least, max_at_most,
-    mean_between, stddev_at_most, distinct_at_least, unique_key,
-    values_in_set, columns_ordered."""
+    mean_between, quantile_between, stddev_at_most, distinct_at_least,
+    unique_key, values_in_set, columns_ordered.
+
+    ``quantile_between`` checks ``value <= approx_percentile(column,
+    quantile) <= value_hi`` (t-digest sketch, accuracy 10000 — the
+    distributed analogue of GE's quantile expectation)."""
 
     kind: str
     column: str | None = None
@@ -56,6 +61,7 @@ class Expect:
     columns: Sequence[str] = ()
     value_hi: float | None = None
     value_set: Sequence = ()
+    quantile: float | None = None
 
 
 @dataclass(frozen=True)
@@ -127,6 +133,22 @@ class ValidationProfile:
                         f"got value_hi=None for column {e.column!r}"
                     )
                 aggs.append(F.avg(F.col(e.column).cast("double")).alias(f"__m{i}"))
+            elif e.kind == "quantile_between":
+                if e.value_hi is None:
+                    raise ValueError(
+                        "quantile_between requires value_hi (upper bound); "
+                        f"got value_hi=None for column {e.column!r}"
+                    )
+                if e.quantile is None or not (0.0 <= e.quantile <= 1.0):
+                    raise ValueError(
+                        f"quantile_between requires quantile in [0, 1]; got "
+                        f"{e.quantile!r} for column {e.column!r}"
+                    )
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(e.column).cast("double"), F.lit(e.quantile), F.lit(10000)
+                    ).alias(f"__m{i}")
+                )
             elif e.kind == "stddev_at_most":
                 aggs.append(F.stddev_samp(F.col(e.column).cast("double")).alias(f"__m{i}"))
             elif e.kind == "values_in_set":
@@ -196,6 +218,12 @@ class ValidationProfile:
                 measured = row[f"__m{i}"]
                 ok = measured is not None and e.value <= measured <= e.value_hi
                 expected = f"[{e.value}, {e.value_hi}]"
+            elif e.kind == "quantile_between":
+                measured = row[f"__m{i}"]
+                # all-NULL column -> no quantile: the reference observed
+                # bounds, so an unobservable quantile IS drift
+                ok = measured is not None and e.value <= measured <= e.value_hi
+                expected = f"q{e.quantile} in [{e.value}, {e.value_hi}]"
             elif e.kind == "stddev_at_most":
                 measured = row[f"__m{i}"]
                 # stddev of a 1-row frame is NULL — vacuously fine
@@ -243,6 +271,7 @@ class ValidationProfile:
                     "columns": list(e.columns),
                     "value_hi": e.value_hi,
                     "value_set": list(e.value_set),
+                    "quantile": e.quantile,
                 }
                 for e in self.expectations
             ]
@@ -259,6 +288,7 @@ class ValidationProfile:
                     columns=tuple(d.get("columns") or ()),
                     value_hi=d.get("value_hi"),
                     value_set=tuple(d.get("value_set") or ()),
+                    quantile=d.get("quantile"),
                 )
                 for d in json.loads(s)
             ]
@@ -284,8 +314,11 @@ class DatasetProfiler:
     * numeric columns: ``min_at_least`` / ``max_at_most`` widened by
       ``numeric_tolerance`` × observed range, ``mean_between``
       (mean ± max(tolerance × range, observed stddev)),
-      ``stddev_at_most`` (2× observed + range tolerance),
-      ``null_ratio_max`` (observed + ``null_slack``),
+      ``quantile_between`` at each of ``quantiles`` (default quartiles;
+      observed ± tolerance × range — shape drift the mean/stddev pair
+      misses, e.g. a symmetric bimodal shift), ``stddev_at_most``
+      (2× observed + range tolerance), ``null_ratio_max``
+      (observed + ``null_slack``),
     * low-cardinality non-numeric columns (≤ ``max_value_set_size``
       distinct): ``values_in_set`` of the observed values,
       ``null_ratio_max``.
@@ -300,6 +333,7 @@ class DatasetProfiler:
     null_slack: float = 0.05
     max_value_set_size: int = 32
     columns: Sequence[str] | None = None
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75)
 
     def analyze(self, df: DataFrame) -> ValidationProfile:
         cols = list(self.columns) if self.columns is not None else list(df.columns)
@@ -323,6 +357,14 @@ class DatasetProfiler:
                 F.stddev_samp(cc).alias(f"__std_{c}"),
                 F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)).alias(f"__nul_{c}"),
             ]
+            if self.quantiles:
+                aggs.append(
+                    F.percentile_approx(
+                        cc,
+                        F.array(*[F.lit(float(q)) for q in self.quantiles]),
+                        F.lit(10000),
+                    ).alias(f"__qnt_{c}")
+                )
         for c in categorical_candidates:
             aggs += [
                 F.approx_count_distinct(c, 0.02).alias(f"__acd_{c}"),
@@ -369,6 +411,17 @@ class DatasetProfiler:
                 ),
                 Expect("stddev_at_most", column=c, value=2 * std + tol),
             ]
+            if self.quantiles:
+                for q, qv in zip(self.quantiles, row[f"__qnt_{c}"]):
+                    ex.append(
+                        Expect(
+                            "quantile_between",
+                            column=c,
+                            quantile=float(q),
+                            value=float(qv) - tol,
+                            value_hi=float(qv) + tol,
+                        )
+                    )
         # exact small value sets: one bounded job per low-cardinality
         # candidate (estimate pre-filtered — never a full-column collect)
         for c in categorical_candidates:

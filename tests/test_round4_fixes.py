@@ -17,7 +17,7 @@ import pytest
 
 from feast_spark.core.store import _path_has_output
 from feast_spark.pipeline.sampling import chunk_sequences, pack_sequences
-from feast_spark.validation import Expect, ValidationProfile
+from feast_spark.validation import DatasetProfiler, Expect, ValidationProfile
 
 
 # ------------------------------------------------------- _path_has_output
@@ -53,6 +53,51 @@ def test_mean_between_without_upper_bound_raises_clearly(spark):
     prof = ValidationProfile([Expect("mean_between", column="x", value=0.0)])
     with pytest.raises(ValueError, match="mean_between requires value_hi"):
         prof.validate(df)
+
+
+# ----------------------------------------------------- quantile_between
+def test_quantile_between_catches_bimodal_drift(spark):
+    """VERDICT r03 #7: a symmetric bimodal shift keeps mean/min/max/
+    stddev/null-ratio inside their profiled bands but moves every
+    quartile — the drifted frame must fail EXACTLY the quantile
+    expectations."""
+    ref = spark.createDataFrame(pd.DataFrame({"x": [float(i) for i in range(101)]}))
+    prof = DatasetProfiler(columns=["x"]).analyze(ref)
+    kinds = {e.kind for e in prof.expectations}
+    assert "quantile_between" in kinds
+    assert prof.run(ref).is_success  # reference validates against itself
+
+    drifted = spark.createDataFrame(
+        pd.DataFrame({"x": [10.0] * 50 + [90.0] * 51})
+    )
+    report = prof.run(drifted)
+    assert not report.is_success
+    assert {e.check_name for e in report.errors} == {"quantile_between"}
+    assert len(report.errors) == 3  # all three quartiles drifted
+
+
+def test_quantile_between_json_roundtrip_and_guards(spark):
+    prof = ValidationProfile(
+        [Expect("quantile_between", column="x", quantile=0.5, value=1.0, value_hi=3.0)]
+    )
+    back = ValidationProfile.from_json(prof.to_json())
+    assert back.expectations[0].quantile == 0.5
+    df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 2.5]}))
+    assert back.run(df).is_success
+
+    with pytest.raises(ValueError, match="quantile_between requires value_hi"):
+        ValidationProfile(
+            [Expect("quantile_between", column="x", quantile=0.5, value=1.0)]
+        ).validate(df)
+    with pytest.raises(ValueError, match="quantile in \\[0, 1\\]"):
+        ValidationProfile(
+            [Expect("quantile_between", column="x", quantile=1.5, value=0.0, value_hi=1.0)]
+        ).validate(df)
+
+    # all-NULL column: the reference observed bounds, so an unobservable
+    # quantile is drift (fails, not vacuous)
+    nulls = spark.createDataFrame(pd.DataFrame({"x": [None, None]}), "x double")
+    assert not back.run(nulls).is_success
 
 
 # ---------------------------------------------------------- pack_sequences
