@@ -448,11 +448,14 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    # no distinct: each corpus row lives in exactly ONE cell (nprobe=1
+    # above), so the cell equi-join yields each (query, neighbor) pair at
+    # most once even when the query probes several cells — a distinct
+    # here would only re-shuffle the already-k-sized output
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
-        .distinct()
     )
 
 
