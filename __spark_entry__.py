@@ -2116,6 +2116,110 @@ LEFT JOIN scored s USING (doc_id)
 
 
 
+def q_tokenize(spark, sf_dir):
+    """Greedy longest-match WordPiece subword tokenization over
+    ``documents`` with the static ``DEFAULT_VOCAB`` (the apply step of
+    BERT-style tokenizers). No reference counterpart — the reference
+    hands tokenization to an external library driver-side; this is the
+    distributed version a training pipeline needs (VERDICT r03 #8).
+    One Arrow-batched UDF pass, broadcast vocab, no shuffle."""
+    from feast_spark.pipeline.tokenize import wordpiece_tokenize
+
+    out = wordpiece_tokenize(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+        F.concat_ws(" ", "tokens").alias("token_str"),
+    )
+
+
+def _tokenize_oracle(max_word_len: int = 16) -> str:
+    """Full SQL replay of greedy longest-match WordPiece in DuckDB.
+
+    The greedy loop consumes >= 1 char per step, so ``max_word_len``
+    unrolled CTE steps always finish (longer words are UNK up front —
+    same rule as the Spark side). Tokenization runs over DISTINCT words
+    (the same memoization the executor-side UDF does), then joins back
+    to per-doc word positions. Each step needs ONE scalar subquery —
+    the max matching piece length — because the piece text itself is
+    derivable as substr(word, pos+1, len) with a '##' prefix iff
+    pos > 0. Vocab pieces are unique per (match, cont), so the argmax
+    is tie-free."""
+    from feast_spark.pipeline.tokenize import DEFAULT_VOCAB, PRETOKEN_PATTERN
+
+    vocab_rows = ", ".join(
+        "('{m}', {c})".format(
+            m=(p[2:] if p.startswith("##") else p).replace("'", "''"),
+            c="true" if p.startswith("##") else "false",
+        )
+        for p in DEFAULT_VOCAB
+    )
+    steps = []
+    prev = "s0"
+    for k in range(1, max_word_len + 1):
+        steps.append(
+            f"""p{k} AS (
+  SELECT word, pos, toks, cnt,
+    (SELECT max(length(v.match)) FROM vocab v
+      WHERE v.cont = (p.pos > 0)
+        AND substr(p.word, p.pos + 1, length(v.match)) = v.match) bl
+  FROM {prev} p
+), s{k} AS (
+  SELECT word,
+    CASE WHEN pos IS NULL OR pos >= length(word) THEN pos
+         WHEN bl IS NULL THEN NULL
+         ELSE pos + bl END pos,
+    CASE WHEN pos IS NULL OR pos >= length(word) OR bl IS NULL THEN toks
+         ELSE CASE WHEN toks = '' THEN '' ELSE toks || ' ' END
+              || CASE WHEN pos > 0 THEN '##' ELSE '' END
+              || substr(word, pos + 1, bl)
+    END toks,
+    CASE WHEN pos IS NULL OR pos >= length(word) OR bl IS NULL THEN cnt
+         ELSE cnt + 1 END cnt
+  FROM p{k}
+)"""
+        )
+        prev = f"s{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH vocab(match, cont) AS (VALUES {vocab_rows}),
+docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{PRETOKEN_PATTERN}') arr
+  FROM documents
+), wpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM docs
+), words AS (
+  SELECT doc_id, wi, arr[wi] word FROM wpos
+), dw AS (
+  SELECT DISTINCT word FROM words
+), s0 AS (
+  SELECT word,
+         CASE WHEN length(word) > {max_word_len} THEN NULL ELSE 0 END pos,
+         '' toks, 0 cnt
+  FROM dw
+),
+{steps_sql},
+wt AS (
+  SELECT word,
+    CASE WHEN pos IS NULL THEN '[UNK]' ELSE toks END toks,
+    CAST(CASE WHEN pos IS NULL THEN 1 ELSE cnt END AS BIGINT) cnt,
+    CAST(CASE WHEN pos IS NULL THEN 1 ELSE 0 END AS BIGINT) unk
+  FROM {prev}
+), agg AS (
+  SELECT w.doc_id, SUM(t.cnt) n_tok, SUM(t.unk) n_unk,
+         string_agg(t.toks, ' ' ORDER BY w.wi) token_str
+  FROM words w JOIN wt t USING (word) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
+       COALESCE(a.token_str, '') AS token_str
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _lsh_topk_oracle() -> str:
     """Full SQL replay of lsh_topk (quantized signatures): the sign
     bits come from EXACT int64 dots over floor(x*1e6+0.5)-quantized
@@ -2199,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence plus the local tools/check_oracles.py gate (see
     # NOTES_ROUND4.md).
     return {
+        # round-4 new query first (never in a driver artifact yet)
+        "tokenize": q_tokenize,
         "entity_mapping": q_entity_mapping,
         "profile_stats": q_profile_stats,
         "gopher_rules": q_gopher_rules,
@@ -2263,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
+        "tokenize": _tokenize_oracle(),
         "entity_mapping": _ENTITY_MAPPING_ORACLE,
         "profile_stats": _PROFILE_STATS_ORACLE,
         "gopher_rules": _GOPHER_ORACLE,

@@ -1,8 +1,8 @@
 """End-to-end training-data pipeline composing the whole engine.
 
 documents → PII scrub → quality/Gopher-rule filter → language filter →
-exact + near dedup → benchmark decontamination → tokenize
-(deterministic stand-in) → context-window chunking → token-sequence
+exact + near dedup → benchmark decontamination → WordPiece subword
+tokenization (token ids) → context-window chunking → token-sequence
 feature table → materialize (manifest/resume) → PIT retrieval with
 windowed features → training set (+ validation profile gate).
 
@@ -49,13 +49,30 @@ from feast_spark.pipeline.text import (
 from feast_spark.validation import DatasetProfiler
 
 
-def fake_tokenize(df, text_col="text", vocab=50257):
-    """Deterministic per-word hash 'tokenizer' (stands in for a real BPE;
-    same array<int> output shape)."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-    return df.withColumn(
-        "tokens", F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int"))
-    ).withColumn("n_tok", F.size("tokens"))
+def tokenize_ids(df, text_col="text"):
+    """Real subword tokenization: greedy longest-match WordPiece
+    (broadcast vocab, one Arrow-batched UDF pass) mapped to integer
+    token ids by vocab position — UNK id is len(vocab). The id mapping
+    is a codegen map-literal lookup, no extra Python pass."""
+    from feast_spark.pipeline.tokenize import DEFAULT_VOCAB, wordpiece_tokenize
+
+    piece_id = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in DEFAULT_VOCAB]),
+        F.array(*[F.lit(i) for i in range(len(DEFAULT_VOCAB))]),
+    )
+    return (
+        wordpiece_tokenize(df, text_col=text_col)
+        .withColumn(
+            "tokens",
+            F.transform(
+                "tokens",
+                lambda t: F.coalesce(
+                    F.element_at(piece_id, t), F.lit(len(DEFAULT_VOCAB))
+                ).cast("int"),
+            ),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
 
 
 def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
@@ -117,7 +134,7 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
 
     # 3. tokenize → token-sequence feature table (synthetic event times:
     #    deterministic offsets; real pipelines carry ingestion times)
-    seqs = fake_tokenize(kept).select(
+    seqs = tokenize_ids(kept).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "tokens",
         "n_tok",
