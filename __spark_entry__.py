@@ -2134,6 +2134,73 @@ def q_tokenize(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Passage-level exact-substring dedup (Lee et al. ExactSubstr):
+    every 8-word span occurring 2+ times corpus-wide is removed except
+    its lexicographically-first occurrence. No reference counterpart
+    (reference dedups whole rows only). md5-of-clean-text oracle, same
+    style as pii_scrub."""
+    from feast_spark.pipeline.dedup_text import remove_duplicate_spans
+
+    out = remove_duplicate_spans(_docs(spark, sf_dir), ngram=8, min_count=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("n_removed_words").cast("long").alias("n_removed_words"),
+        F.md5(F.col("text_deduped")).alias("clean_md5"),
+    )
+
+
+_DEDUP_SPANS_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') arr
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr) - 8 + 1)) s, arr
+  FROM d WHERE len(arr) >= 8
+), h AS (
+  SELECT doc_id, s - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+7], ' ')), 1, 15)) AS BIGINT) gh
+  FROM g
+), m AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY gh) c,
+         ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) rn
+  FROM h
+), covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 7)) p
+    FROM m WHERE c >= 2 AND rn > 1
+  ) t
+), spans AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE prev IS NULL OR p - prev > 1) n_dup_spans,
+         COUNT(*) n_removed
+  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) prev
+        FROM covered) x
+  GROUP BY 1
+), wpos AS (
+  SELECT doc_id, wi - 1 AS pos, arr[wi] word FROM (
+    SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM d
+  ) w
+), clean AS (
+  SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) txt
+  FROM wpos w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.p
+  WHERE c.p IS NULL
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(d.arr) AS BIGINT) AS n_words,
+       CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed_words,
+       md5(COALESCE(cl.txt, '')) AS clean_md5
+FROM d LEFT JOIN spans s USING (doc_id) LEFT JOIN clean cl USING (doc_id)
+"""
+
+
 def _tokenize_oracle(max_word_len: int = 16) -> str:
     """Full SQL replay of greedy longest-match WordPiece in DuckDB.
 
@@ -2303,8 +2370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence plus the local tools/check_oracles.py gate (see
     # NOTES_ROUND4.md).
     return {
-        # round-4 new query first (never in a driver artifact yet)
+        # round-4 new queries first (never in a driver artifact yet)
         "tokenize": q_tokenize,
+        "dedup_spans": q_dedup_spans,
         "entity_mapping": q_entity_mapping,
         "profile_stats": q_profile_stats,
         "gopher_rules": q_gopher_rules,
@@ -2370,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
         "tokenize": _tokenize_oracle(),
+        "dedup_spans": _DEDUP_SPANS_ORACLE,
         "entity_mapping": _ENTITY_MAPPING_ORACLE,
         "profile_stats": _PROFILE_STATS_ORACLE,
         "gopher_rules": _GOPHER_ORACLE,

@@ -508,3 +508,117 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_count: int = 2,
+    keep_first: bool = True,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): remove
+    every ``ngram``-word span whose exact text occurs ``min_count``+
+    times across the whole corpus. With ``keep_first`` (default) the
+    occurrence with the lexicographically smallest ``(id, position)``
+    is preserved, so one canonical copy of each repeated passage
+    survives; ``keep_first=False`` scrubs all occurrences (the
+    decontamination-style variant).
+
+    No reference counterpart (the reference dedups at whole-row
+    granularity only); this is the passage-level pass a training-data
+    pipeline runs between exact-doc and near-dup dedup.
+
+    Semantics (oracle-replayable, whitespace-normalizing): words are
+    ``\\s+``-split tokens of the trimmed text; a gram at 0-based word
+    position ``i`` covers words ``[i, i+ngram)``; duplicated-gram
+    occurrences mark their covered positions for removal; ``out_col``
+    is the surviving words joined by single spaces. Appended columns:
+    ``n_words``, ``n_dup_spans`` (maximal merged removed intervals),
+    ``n_removed_words``, ``out_col``.
+
+    Plan shape for 100 TB: gram hashes are codegen (portable md5 →
+    60-bit int of the joined word slice); ONE combinable count shuffle
+    over gram hashes; one equi-join of gram occurrences against the
+    duplicated-gram set; one per-doc ``collect_list`` of marked starts
+    (bounded by words-per-doc — chunk pathological documents first,
+    same guidance as ``pack_sequences``); interval merge and text
+    reconstruction are array HOFs, no further shuffle. Hash note: a
+    60-bit collision can mark an innocent span; at 10^12 grams expect
+    ~10^-6 false-mark rate (same portable-hash tradeoff as the other
+    dedup families).
+    """
+    if ngram < 2:
+        raise ValueError("ngram must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would mark every span)")
+    for c in ("__words", "__starts", "__covered"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = df.withColumn("__words", words)
+    starts = F.when(
+        F.size("__words") >= ngram,
+        F.sequence(F.lit(0), F.size("__words") - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col).alias("__id"), F.explode(starts).alias("pos"), "__words"
+    ).select(
+        "__id",
+        "pos",
+        portable_hash64(
+            F.array_join(F.slice("__words", F.col("pos") + 1, ngram), " ")
+        ).alias("gh"),
+    )
+    counts = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first"),
+    )
+    dup = counts.filter(F.col("c") >= min_count).select("gh", "first")
+    marked = grams.join(dup, "gh")
+    if keep_first:
+        marked = marked.filter(
+            ~(
+                (F.col("__id") == F.col("first.__id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+    per_doc = marked.groupBy("__id").agg(F.collect_list("pos").alias("__starts"))
+    joined = base.join(per_doc, base[id_col] == per_doc["__id"], "left").drop("__id")
+    covered = F.array_sort(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("__starts", F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + ngram - 1),
+                )
+            )
+        )
+    )
+    out = joined.withColumn("__covered", covered)
+    cov = F.col("__covered")
+    return (
+        out.withColumn("n_words", F.size("__words"))
+        .withColumn(
+            "n_dup_spans",
+            F.size(
+                F.filter(
+                    cov,
+                    lambda p, i: (i == F.lit(0)) | (F.element_at(cov, i) != p - 1),
+                )
+            ),
+        )
+        .withColumn("n_removed_words", F.size("__covered"))
+        .withColumn(
+            out_col,
+            F.array_join(
+                F.filter("__words", lambda w, i: ~F.array_contains(cov, i)), " "
+            ),
+        )
+        .drop("__words", "__starts", "__covered")
+    )
