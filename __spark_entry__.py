@@ -2134,6 +2134,23 @@ def q_tokenize(spark, sf_dir):
     )
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Byte-pair-encoding apply over ``documents`` with the static
+    ``DEFAULT_MERGES`` table (the apply step of GPT-style tokenizers:
+    per word, repeatedly merge all occurrences of the lowest-rank
+    adjacent token pair). No reference counterpart — the reference
+    hands tokenization to an external library driver-side. One
+    Arrow-batched UDF pass, broadcast merge ranks, no shuffle."""
+    from feast_spark.pipeline.bpe import bpe_encode
+
+    out = bpe_encode(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.concat_ws(" ", "tokens").alias("token_str"),
+    )
+
+
 def q_dedup_spans(spark, sf_dir):
     """Passage-level exact-substring dedup (Lee et al. ExactSubstr):
     every 8-word span occurring 2+ times corpus-wide is removed except
@@ -2287,6 +2304,88 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _bpe_oracle(max_word_len: int = 16) -> str:
+    """Full SQL replay of the BPE apply step in DuckDB.
+
+    Each distinct mergeable word (``[a-z0-9]+``, 2..max_word_len chars
+    — single punctuation chars, single-char words and over-length words
+    pass through verbatim, same as the Spark side) is encoded as a
+    bracket string ``<t1><t2>...``: because ``replace`` scans
+    left-to-right over non-overlapping occurrences, replacing
+    ``<l><r>`` with ``<lr>`` IS BPE's merge-all-occurrences step, and
+    the brackets make pair matches unambiguous (tokens are pure
+    [a-z0-9] so ``<``/``>`` never occur inside one). Each unrolled step
+    needs ONE scalar subquery — the lowest-rank merge whose pattern
+    occurs in the state — since the replacement is derivable from the
+    pattern (drop the inner ``><``). A word of N tokens merges at most
+    N-1 times, so ``max_word_len - 1`` unrolled steps always reach the
+    fixed point. Ranks are unique, so the argmin is tie-free."""
+    from feast_spark.pipeline.bpe import DEFAULT_MERGES
+    from feast_spark.pipeline.tokenize import PRETOKEN_PATTERN
+
+    merge_rows = ", ".join(
+        f"({rank}, '<{left}><{right}>')"
+        for rank, (left, right) in enumerate(DEFAULT_MERGES)
+    )
+    steps = []
+    prev = "s0"
+    for k in range(1, max_word_len):
+        steps.append(
+            f"""b{k} AS (
+  SELECT word, state,
+    (SELECT m.pat FROM merges m WHERE contains(s.state, m.pat)
+      ORDER BY m.rank LIMIT 1) bp
+  FROM {prev} s
+), s{k} AS (
+  SELECT word,
+    CASE WHEN bp IS NULL THEN state
+         ELSE replace(state, bp, replace(bp, '><', '')) END state
+  FROM b{k}
+)"""
+        )
+        prev = f"s{k}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH merges(rank, pat) AS (VALUES {merge_rows}),
+docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{PRETOKEN_PATTERN}') arr
+  FROM documents
+), wpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM docs
+), words AS (
+  SELECT doc_id, wi, arr[wi] word FROM wpos
+), dw AS (
+  SELECT DISTINCT word FROM words
+), mw AS (
+  SELECT word FROM dw
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+    AND length(word) BETWEEN 2 AND {max_word_len}
+), s0 AS (
+  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') state FROM mw
+),
+{steps_sql},
+wt AS (
+  SELECT word,
+         CAST(length(state) - length(replace(state, '>', '')) AS BIGINT) cnt,
+         substr(replace(state, '><', ' '), 2,
+                length(replace(state, '><', ' ')) - 2) toks
+  FROM {prev}
+  UNION ALL
+  SELECT word, CAST(1 AS BIGINT) cnt, word toks
+  FROM dw WHERE word NOT IN (SELECT word FROM mw)
+), agg AS (
+  SELECT w.doc_id, SUM(t.cnt) n_tok,
+         string_agg(t.toks, ' ' ORDER BY w.wi) token_str
+  FROM words w JOIN wt t USING (word) GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+       COALESCE(a.token_str, '') AS token_str
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _lsh_topk_oracle() -> str:
     """Full SQL replay of lsh_topk (quantized signatures): the sign
     bits come from EXACT int64 dots over floor(x*1e6+0.5)-quantized
@@ -2371,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTES_ROUND4.md).
     return {
         # round-4 new queries first (never in a driver artifact yet)
+        "bpe_tokenize": q_bpe_tokenize,
         "tokenize": q_tokenize,
         "dedup_spans": q_dedup_spans,
         "entity_mapping": q_entity_mapping,
@@ -2437,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
+        "bpe_tokenize": _bpe_oracle(),
         "tokenize": _tokenize_oracle(),
         "dedup_spans": _DEDUP_SPANS_ORACLE,
         "entity_mapping": _ENTITY_MAPPING_ORACLE,
