@@ -541,16 +541,23 @@ def remove_duplicate_spans(
     ``n_removed_words``, ``out_col``.
 
     Plan shape for 100 TB: gram hashes are codegen (portable md5 →
-    60-bit int of the joined word slice); ONE combinable count shuffle
-    over gram hashes; one equi-join of gram occurrences against the
-    duplicated-gram set; one per-doc ``collect_list`` of marked starts
+    60-bit int of the joined word slice); duplicate detection is ONE
+    shuffle — a window over the gram hash carries both the occurrence
+    count and the first-occurrence min-struct, so the gram strings are
+    computed once and the old aggregate-then-rejoin form's second
+    gram scan + join shuffle are gone (measured 2-3× at sf0.1, same
+    output); then one per-doc ``collect_list`` of marked starts
     (bounded by words-per-doc — chunk pathological documents first,
     same guidance as ``pack_sequences``); interval merge and text
-    reconstruction are array HOFs, no further shuffle. Hash note: a
-    60-bit collision can mark an innocent span; at 10^12 grams expect
-    ~10^-6 false-mark rate (same portable-hash tradeoff as the other
-    dedup families).
+    reconstruction are array HOFs, no further shuffle. A
+    pathologically repeated gram lands on one task (same skew bound as
+    the old groupBy form); boilerplate that hot should be caught by
+    ``ngram_repetition`` upstream. Hash note: a 60-bit collision can
+    mark an innocent span; at 10^12 grams expect ~10^-6 false-mark
+    rate (same portable-hash tradeoff as the other dedup families).
     """
+    from pyspark.sql.window import Window
+
     if ngram < 2:
         raise ValueError("ngram must be >= 2")
     if min_count < 2:
@@ -575,12 +582,12 @@ def remove_duplicate_spans(
             F.array_join(F.slice("__words", F.col("pos") + 1, ngram), " ")
         ).alias("gh"),
     )
-    counts = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.min(F.struct(F.col("__id"), F.col("pos"))).alias("first"),
+    w = Window.partitionBy("gh")
+    marked = (
+        grams.withColumn("c", F.count(F.lit(1)).over(w))
+        .withColumn("first", F.min(F.struct(F.col("__id"), F.col("pos"))).over(w))
+        .filter(F.col("c") >= min_count)
     )
-    dup = counts.filter(F.col("c") >= min_count).select("gh", "first")
-    marked = grams.join(dup, "gh")
     if keep_first:
         marked = marked.filter(
             ~(
