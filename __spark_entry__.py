@@ -2151,6 +2151,30 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_token_ids(spark, sf_dir):
+    """Raw text → the north-rule input-table shape: WordPiece tokens
+    mapped to integer ids (``pieces_to_ids`` — codegen literal-map
+    lookup, id 0 = UNK) so the output is exactly the
+    ``(doc_id, tokens:array<int32>, n_tok, source)`` pre-tokenized
+    table the PIT/windowing engine consumes. No shuffle; the whole
+    text→ids path is one UDF pass + codegen transforms."""
+    from feast_spark.pipeline.tokenize import pieces_to_ids, wordpiece_tokenize
+
+    out = wordpiece_tokenize(_docs(spark, sf_dir)).withColumn(
+        "token_ids", pieces_to_ids(F.col("tokens"))
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("token_ids").cast("long").alias("n_tok"),
+        F.size(
+            F.filter("token_ids", lambda i: i == F.lit(0))
+        ).cast("long").alias("n_oov"),
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda i: i.cast("string"))
+        ).alias("ids_str"),
+    )
+
+
 def q_dedup_spans(spark, sf_dir):
     """Passage-level exact-substring dedup (Lee et al. ExactSubstr):
     every 8-word span occurring 2+ times corpus-wide is removed except
@@ -2299,6 +2323,47 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
        CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
        COALESCE(a.token_str, '') AS token_str
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _token_ids_oracle() -> str:
+    """SQL replay of the text→ids path: the full WordPiece oracle runs
+    as a nested CTE, then the space-joined token stream is split back
+    out, joined to the ``vocab_with_ids`` table (same deterministic
+    piece→id order as the Spark side, id 0 = UNK / out-of-vocab), and
+    re-aggregated in token order."""
+    from feast_spark.pipeline.tokenize import vocab_with_ids
+
+    vocab_rows = ", ".join(
+        "('{p}', {i})".format(p=piece.replace("'", "''"), i=pid)
+        for piece, pid in vocab_with_ids()
+    )
+    inner = _tokenize_oracle()
+    return f"""
+WITH tk AS (
+{inner}
+), vmap(piece, id) AS (VALUES {vocab_rows}),
+tkarr AS (
+  SELECT doc_id, list_filter(string_split(token_str, ' '), x -> x <> '') arr
+  FROM tk
+), tpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM tkarr
+), mapped AS (
+  SELECT t.doc_id, t.wi, COALESCE(v.id, 0) id
+  FROM (SELECT doc_id, wi, arr[wi] tok FROM tpos) t
+  LEFT JOIN vmap v ON v.piece = t.tok
+), agg AS (
+  SELECT doc_id, COUNT(*) n_tok,
+         SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) n_oov,
+         string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi) ids_str
+  FROM mapped GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(a.n_oov, 0) AS BIGINT) AS n_oov,
+       COALESCE(a.ids_str, '') AS ids_str
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN agg a USING (doc_id)
 """
@@ -2470,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTES_ROUND4.md).
     return {
         # round-4 new queries first (never in a driver artifact yet)
+        "token_ids": q_token_ids,
         "bpe_tokenize": q_bpe_tokenize,
         "tokenize": q_tokenize,
         "dedup_spans": q_dedup_spans,
@@ -2537,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
+        "token_ids": _token_ids_oracle(),
         "bpe_tokenize": _bpe_oracle(),
         "tokenize": _tokenize_oracle(),
         "dedup_spans": _DEDUP_SPANS_ORACLE,

@@ -52,25 +52,14 @@ from feast_spark.validation import DatasetProfiler
 def tokenize_ids(df, text_col="text"):
     """Real subword tokenization: greedy longest-match WordPiece
     (broadcast vocab, one Arrow-batched UDF pass) mapped to integer
-    token ids by vocab position — UNK id is len(vocab). The id mapping
-    is a codegen map-literal lookup, no extra Python pass."""
-    from feast_spark.pipeline.tokenize import DEFAULT_VOCAB, wordpiece_tokenize
+    token ids via ``pieces_to_ids`` (codegen map-literal lookup, UNK
+    id 0, no extra Python pass) — raw text to the engine's
+    pre-tokenized input shape in one composed step."""
+    from feast_spark.pipeline.tokenize import pieces_to_ids, wordpiece_tokenize
 
-    piece_id = F.map_from_arrays(
-        F.array(*[F.lit(p) for p in DEFAULT_VOCAB]),
-        F.array(*[F.lit(i) for i in range(len(DEFAULT_VOCAB))]),
-    )
     return (
         wordpiece_tokenize(df, text_col=text_col)
-        .withColumn(
-            "tokens",
-            F.transform(
-                "tokens",
-                lambda t: F.coalesce(
-                    F.element_at(piece_id, t), F.lit(len(DEFAULT_VOCAB))
-                ).cast("int"),
-            ),
-        )
+        .withColumn("tokens", pieces_to_ids(F.col("tokens")))
         .withColumn("n_tok", F.size("tokens"))
     )
 

@@ -267,3 +267,60 @@ def build_wordpiece_vocab(
     budget = max(0, vocab_size - len(base))
     top = [r["piece"] for r in rest.limit(budget).collect()]
     return sorted(set(base) | set(top))
+
+
+def vocab_with_ids(
+    vocab: Sequence[str] | None = None, unk_token: str = UNK_TOKEN
+) -> list[tuple[str, int]]:
+    """Deterministic piece→id table: id 0 is ``unk_token``, then the
+    vocab pieces in their given order (``DEFAULT_VOCAB`` is sorted, so
+    the default mapping is stable across engines and sessions)."""
+    pieces = tuple(vocab) if vocab is not None else DEFAULT_VOCAB
+    if unk_token in pieces:
+        raise ValueError(f"unk_token {unk_token!r} must not be a vocab piece")
+    return [(unk_token, 0)] + [(p, i + 1) for i, p in enumerate(pieces)]
+
+
+def pieces_to_ids(
+    tokens: Column,
+    vocab: Sequence[str] | None = None,
+    unk_token: str = UNK_TOKEN,
+) -> Column:
+    """Map an ``array<string>`` token column to ``array<int>`` ids via
+    ``vocab_with_ids`` — the last step from raw text to the
+    pre-tokenized training-table shape ``(doc_id, tokens:array<int32>,
+    n_tok, source)`` the PIT/windowing engine consumes.
+
+    Pure codegen: a literal map + ``transform`` lookup — no UDF, no
+    shuffle, no driver hop. Any token outside the vocab (including the
+    tokenizer's own ``unk_token``) maps to id 0. Literal maps are the
+    right call up to real tokenizer vocab sizes (a 32k-entry map
+    constant is ~1 MB shipped once inside the plan); beyond ~100k
+    entries prefer an explode + broadcast-join + re-aggregate."""
+    table = vocab_with_ids(vocab, unk_token)
+    mapping = F.create_map(
+        *[F.lit(x) for piece, pid in table for x in (piece, pid)]
+    )
+    return F.transform(
+        tokens, lambda t: F.coalesce(mapping[t], F.lit(0)).cast("int")
+    )
+
+
+def ids_to_pieces(
+    ids: Column,
+    vocab: Sequence[str] | None = None,
+    unk_token: str = UNK_TOKEN,
+) -> Column:
+    """Inverse of ``pieces_to_ids``: ``array<int>`` → ``array<string>``
+    (unknown / out-of-range ids come back as ``unk_token``). Pure
+    codegen array indexing; composes with ``wordpiece_detokenize`` for
+    a full ids→text round trip."""
+    table = vocab_with_ids(vocab, unk_token)
+    arr = F.array(*[F.lit(p) for p, _ in table])
+    n = len(table)
+    return F.transform(
+        ids,
+        lambda i: F.when(
+            (i >= 0) & (i < F.lit(n)), F.element_at(arr, i + 1)
+        ).otherwise(F.lit(unk_token)),
+    )
