@@ -2193,6 +2193,78 @@ def q_dedup_spans(spark, sf_dir):
     )
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level benchmark decontamination: scrub (not drop) every
+    8-word span of a training doc that occurs verbatim in the
+    pseudo-benchmark subset (doc_id % 17 == 0 — same convention as
+    `decontaminate`, which flags whole docs; this keeps the rest of
+    the document). Benchmark gram-hash set broadcast; corpus never
+    shuffles on gram."""
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_spans
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id").cast("long") % 17 == 0)
+    out = scrub_contaminated_spans(docs, bench, ngram=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_hit_spans").cast("long").alias("n_hit_spans"),
+        F.col("n_removed_words").cast("long").alias("n_removed_words"),
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+_DECON_SPANS_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') arr
+  FROM documents
+), bg AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+7], ' ')), 1, 15)) AS BIGINT) gh
+  FROM (
+    SELECT unnest(generate_series(1, len(arr) - 8 + 1)) s, arr
+    FROM d WHERE CAST(doc_id AS BIGINT) % 17 = 0 AND len(arr) >= 8
+  ) t
+), g AS (
+  SELECT doc_id, s - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+7], ' ')), 1, 15)) AS BIGINT) gh
+  FROM (
+    SELECT doc_id, unnest(generate_series(1, len(arr) - 8 + 1)) s, arr
+    FROM d WHERE len(arr) >= 8
+  ) w
+), covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 7)) p
+    FROM g JOIN bg USING (gh)
+  ) t
+), spans AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE prev IS NULL OR p - prev > 1) n_hit_spans,
+         COUNT(*) n_removed
+  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) prev
+        FROM covered) x
+  GROUP BY 1
+), wpos AS (
+  SELECT doc_id, wi - 1 AS pos, arr[wi] word FROM (
+    SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM d
+  ) w
+), clean AS (
+  SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) txt
+  FROM wpos w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.p
+  WHERE c.p IS NULL
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(len(d.arr) AS BIGINT) AS n_words,
+       CAST(COALESCE(s.n_hit_spans, 0) AS BIGINT) AS n_hit_spans,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed_words,
+       md5(COALESCE(cl.txt, '')) AS clean_md5
+FROM d LEFT JOIN spans s USING (doc_id) LEFT JOIN clean cl USING (doc_id)
+"""
+
+
 _DEDUP_SPANS_ORACLE = r"""
 WITH d AS (
   SELECT doc_id,
@@ -2535,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTES_ROUND4.md).
     return {
         # round-4 new queries first (never in a driver artifact yet)
+        "decontaminate_spans": q_decontaminate_spans,
         "token_ids": q_token_ids,
         "bpe_tokenize": q_bpe_tokenize,
         "tokenize": q_tokenize,
@@ -2603,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
+        "decontaminate_spans": _DECON_SPANS_ORACLE,
         "token_ids": _token_ids_oracle(),
         "bpe_tokenize": _bpe_oracle(),
         "tokenize": _tokenize_oracle(),

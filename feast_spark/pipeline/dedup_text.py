@@ -562,26 +562,8 @@ def remove_duplicate_spans(
         raise ValueError("ngram must be >= 2")
     if min_count < 2:
         raise ValueError("min_count must be >= 2 (1 would mark every span)")
-    for c in ("__words", "__starts", "__covered"):
-        if c in df.columns:
-            raise ValueError(f"input already has internal column {c!r}")
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
-    )
-    base = df.withColumn("__words", words)
-    starts = F.when(
-        F.size("__words") >= ngram,
-        F.sequence(F.lit(0), F.size("__words") - ngram),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = base.select(
-        F.col(id_col).alias("__id"), F.explode(starts).alias("pos"), "__words"
-    ).select(
-        "__id",
-        "pos",
-        portable_hash64(
-            F.array_join(F.slice("__words", F.col("pos") + 1, ngram), " ")
-        ).alias("gh"),
-    )
+    base = _span_words_base(df, text_col)
+    grams = _span_grams(base, id_col, ngram)
     w = Window.partitionBy("gh")
     marked = (
         grams.withColumn("c", F.count(F.lit(1)).over(w))
@@ -595,6 +577,54 @@ def remove_duplicate_spans(
                 & (F.col("pos") == F.col("first.pos"))
             )
         )
+    return _span_scrub_output(
+        base, marked, id_col, ngram, span_count_col="n_dup_spans", out_col=out_col
+    )
+
+
+def _span_words_base(df: DataFrame, text_col: str) -> DataFrame:
+    """Shared word-splitting prologue for the span ops: trimmed
+    ``\\s+``-split non-empty words appended as ``__words``."""
+    for c in ("__words", "__starts", "__covered"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    return df.withColumn("__words", words)
+
+
+def _span_grams(base: DataFrame, id_col: str, ngram: int) -> DataFrame:
+    """(__id, pos, gh) for every ``ngram``-word window: gh is the
+    portable 60-bit hash of the space-joined word slice (codegen)."""
+    starts = F.when(
+        F.size("__words") >= ngram,
+        F.sequence(F.lit(0), F.size("__words") - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col).alias("__id"), F.explode(starts).alias("pos"), "__words"
+    ).select(
+        "__id",
+        "pos",
+        portable_hash64(
+            F.array_join(F.slice("__words", F.col("pos") + 1, ngram), " ")
+        ).alias("gh"),
+    )
+
+
+def _span_scrub_output(
+    base: DataFrame,
+    marked: DataFrame,
+    id_col: str,
+    ngram: int,
+    span_count_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared epilogue: fold marked gram starts per doc, expand to
+    covered word positions, emit ``n_words`` / ``span_count_col``
+    (maximal merged removed intervals) / ``n_removed_words`` /
+    ``out_col`` (surviving words re-joined). Array HOFs only — the
+    per-doc ``collect_list`` is the single shuffle."""
     per_doc = marked.groupBy("__id").agg(F.collect_list("pos").alias("__starts"))
     joined = base.join(per_doc, base[id_col] == per_doc["__id"], "left").drop("__id")
     covered = F.array_sort(
@@ -612,7 +642,7 @@ def remove_duplicate_spans(
     return (
         out.withColumn("n_words", F.size("__words"))
         .withColumn(
-            "n_dup_spans",
+            span_count_col,
             F.size(
                 F.filter(
                     cov,
@@ -628,4 +658,52 @@ def remove_duplicate_spans(
             ),
         )
         .drop("__words", "__starts", "__covered")
+    )
+
+
+def scrub_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    bench_text_col: str | None = None,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Span-level benchmark decontamination: remove every ``ngram``-word
+    window of a training document whose exact text occurs anywhere in
+    the benchmark/eval set — the surgical counterpart to
+    ``text.decontaminate`` (which flags whole documents). Dropping whole
+    documents over one quoted benchmark sentence wastes data at corpus
+    scale; scrubbing just the overlapping spans keeps the rest
+    (the ExactSubstr-style pass applied to decontamination).
+
+    Same word/span semantics as ``remove_duplicate_spans`` (trimmed
+    ``\\s+``-split words, a gram at word position ``i`` covers
+    ``[i, i+ngram)``, covered positions are removed, survivors re-join
+    with single spaces). Appended columns: ``n_words``,
+    ``n_hit_spans`` (maximal merged removed intervals),
+    ``n_removed_words``, ``out_col``.
+
+    Plan for 100 TB: the benchmark side is small (eval sets) — its
+    distinct gram-hash set is BROADCAST; the corpus is scanned once
+    (codegen gram hashes), matched map-side, and the per-doc
+    ``collect_list`` of hits is the only shuffle. The corpus never
+    shuffles on gram. Same 60-bit-collision caveat as the other
+    portable-hash families.
+    """
+    if ngram < 2:
+        raise ValueError("ngram must be >= 2")
+    base = _span_words_base(df, text_col)
+    grams = _span_grams(base, id_col, ngram)
+    bcol = bench_text_col or text_col
+    bench_base = _span_words_base(benchmark.select(F.col(bcol)), bcol)
+    bench_grams = (
+        _span_grams(bench_base.withColumn("__bid", F.lit(0)), "__bid", ngram)
+        .select("gh")
+        .distinct()
+    )
+    marked = grams.join(F.broadcast(bench_grams), on="gh").select("__id", "pos")
+    return _span_scrub_output(
+        base, marked, id_col, ngram, span_count_col="n_hit_spans", out_col=out_col
     )

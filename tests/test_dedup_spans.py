@@ -125,3 +125,65 @@ def test_corpus_run_is_consistent(spark):
         ).alias("ok")
     )
     assert chk.filter(~F.col("ok")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scrub_contaminated_spans (span-level decontamination)
+# ---------------------------------------------------------------------------
+
+def test_scrub_contaminated_removes_only_benchmark_spans(spark):
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail words"),
+            (2, "completely different content with no benchmark overlap x"),
+            (3, "lead a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("prefix a b c d e f g h suffix",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_contaminated_spans(docs, bench, ngram=8).collect()
+    }
+    assert out[1]["text_clean"] == "tail words"
+    assert out[1]["n_hit_spans"] == 1 and out[1]["n_removed_words"] == 8
+    assert out[2]["n_hit_spans"] == 0 and out[2]["n_removed_words"] == 0
+    assert out[2]["text_clean"].startswith("completely different")
+    assert out[3]["text_clean"] == "lead"
+
+
+def test_scrub_contaminated_empty_benchmark_is_noop(spark):
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id < 0")  # empty
+    row = scrub_contaminated_spans(docs, bench, ngram=8).head()
+    assert row["n_removed_words"] == 0
+    assert row["text_clean"] == docs.head()["text"]
+
+
+def test_scrub_contaminated_benchmark_doc_scrubs_itself(spark):
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id long, text string"
+    )
+    out = scrub_contaminated_spans(docs, docs, ngram=8).head()
+    # grams at 0 and 1 cover every word
+    assert out["n_removed_words"] == 9 and out["text_clean"] == ""
+
+
+def test_scrub_contaminated_guards(spark):
+    import pytest as _pytest
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_spans
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="ngram"):
+        scrub_contaminated_spans(docs, docs, ngram=1)
