@@ -63,7 +63,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_MEMO: dict = {}
 
 
+def _evict_stale_dedup_memo(app_id: str) -> None:
+    # entries keyed by a different applicationId belong to a stopped
+    # session — their checkpointed frames are unusable garbage that
+    # would otherwise pin blocks (and grow the dict) forever in a
+    # process that restarts Spark or iterates sf_dirs across sessions
+    for k in [k for k in _DEDUP_MEMO if k[0] != app_id]:
+        del _DEDUP_MEMO[k]
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_stale_dedup_memo(spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir, "pairs")
     if key not in _DEDUP_MEMO:
         from feast_spark.pipeline.dedup_text import ngram_jaccard_pairs
@@ -82,6 +92,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_group_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built on demand (connected components is an eager iterative job, so
     # the pairs-only query must not trigger it), memoized thereafter
+    _evict_stale_dedup_memo(spark.sparkContext.applicationId)
     key = (spark.sparkContext.applicationId, sf_dir, "groups")
     if key not in _DEDUP_MEMO:
         from feast_spark.pipeline.graph import dedup_groups_from_pairs

@@ -125,9 +125,27 @@ def _isolated_main() -> None:
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
-        piece = json.loads(line)
-        if not merged:
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            if out.returncode != 0:
+                raise RuntimeError(f"exit {out.returncode}")
+            piece = json.loads(line)
+        except (json.JSONDecodeError, RuntimeError) as e:
+            # a crashed piece (OOM'd JVM, stray log line as last stdout)
+            # must not kill the sweep or silently vanish from the merged
+            # report — record the failure and keep going
+            sys.stderr.write(
+                f"bench piece {name!r} failed ({e}); stderr tail: "
+                f"{out.stderr[-500:]}\n"
+            )
+            merged.setdefault("failed_pieces", []).append(name)
+            continue
+        if not merged or set(merged) <= {"failed_pieces"}:
+            piece.setdefault("failed_pieces", []).extend(
+                merged.get("failed_pieces", [])
+            )
+            if not piece["failed_pieces"]:
+                del piece["failed_pieces"]
             merged = piece
         else:
             merged["queries"].update(piece.get("queries", {}))

@@ -42,7 +42,7 @@ defined for this operator.
 from __future__ import annotations
 
 import re
-from typing import Sequence
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -129,25 +129,31 @@ def bpe_encode(
     pat = re.compile(PRETOKEN_PATTERN)
     mwl = int(max_word_len)
 
-    def enc(texts: pd.Series) -> pd.Series:
+    # iterator-of-batches form: memo initialized once per task, shared
+    # across all Arrow batches (same rationale as wordpiece_tokenize)
+    def enc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         rk = bc.value
         memo: dict[str, list[str]] = {}
-        out = []
-        for text in texts:
-            if text is None:
-                out.append(None)
-                continue
-            toks: list[str] = []
-            for word in pat.findall(text.lower()):
-                got = memo.get(word)
-                if got is None:
-                    got = _bpe_word(word, rk, mwl)
-                    memo[word] = got
-                toks.extend(got)
-            out.append(toks)
-        return pd.Series(out)
+        for texts in batches:
+            out = []
+            for text in texts:
+                if text is None:
+                    out.append(None)
+                    continue
+                toks: list[str] = []
+                for word in pat.findall(text.lower()):
+                    got = memo.get(word)
+                    if got is None:
+                        got = _bpe_word(word, rk, mwl)
+                        memo[word] = got
+                    toks.extend(got)
+                out.append(toks)
+            yield pd.Series(out)
 
-    enc.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    enc.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
     udf = pandas_udf("array<string>")(enc)
     return df.withColumn(tokens_col, udf(F.col(text_col)))
 
@@ -225,6 +231,9 @@ def bpe_learn(
                 .limit(1)
                 .collect()
             )
+            # the round's only job has consumed the broadcast — release
+            # its executor blocks instead of leaking one per merge
+            bc.unpersist()
             if not best or best[0]["w"] < int(min_freq):
                 break
             merges.append((best[0]["pair"]["l"], best[0]["pair"]["r"]))

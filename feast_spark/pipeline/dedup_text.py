@@ -533,7 +533,7 @@ def remove_duplicate_spans(
     pipeline runs between exact-doc and near-dup dedup.
 
     Semantics (oracle-replayable, whitespace-normalizing): words are
-    ``\\s+``-split tokens of the trimmed text; a gram at 0-based word
+    whitespace-split tokens of the text (``text.WORD_SPLIT``); a gram at 0-based word
     position ``i`` covers words ``[i, i+ngram)``; duplicated-gram
     occurrences mark their covered positions for removal; ``out_col``
     is the surviving words joined by single spaces. Appended columns:
@@ -583,15 +583,16 @@ def remove_duplicate_spans(
 
 
 def _span_words_base(df: DataFrame, text_col: str) -> DataFrame:
-    """Shared word-splitting prologue for the span ops: trimmed
-    ``\\s+``-split non-empty words appended as ``__words``."""
+    """Shared word-splitting prologue for the span ops: non-empty
+    whitespace-split words appended as ``__words`` — ``word_tokens``'s
+    ONE definition of "word" (explicit oracle-portable whitespace
+    class, not ``\\s``; see ``text.WORD_SPLIT``)."""
+    from feast_spark.pipeline.text import word_tokens
+
     for c in ("__words", "__starts", "__covered"):
         if c in df.columns:
             raise ValueError(f"input already has internal column {c!r}")
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
-    )
-    return df.withColumn("__words", words)
+    return df.withColumn("__words", word_tokens(F.col(text_col)))
 
 
 def _span_grams(base: DataFrame, id_col: str, ngram: int) -> DataFrame:
@@ -679,7 +680,7 @@ def scrub_contaminated_spans(
     (the ExactSubstr-style pass applied to decontamination).
 
     Same word/span semantics as ``remove_duplicate_spans`` (trimmed
-    ``\\s+``-split words, a gram at word position ``i`` covers
+    whitespace-split words, a gram at word position ``i`` covers
     ``[i, i+ngram)``, covered positions are removed, survivors re-join
     with single spaces). Appended columns: ``n_words``,
     ``n_hit_spans`` (maximal merged removed intervals),

@@ -112,9 +112,14 @@ _SHARD_LADDER_TAIL = {"day": ["hour"], "hour": []}
 def _shard_str(unit: str, col: Column) -> Column:
     """Render a date_trunc'd timestamp as the shard label: date string
     for day-or-coarser units (round-3-compatible), full timestamp string
-    at hour granularity."""
+    at hour granularity. NULL timestamps get a stable literal label —
+    otherwise a null-ts over-threshold cell's hash-split suffix would
+    concat to NULL and collapse every such row back into ONE group,
+    re-creating the single-task serialization the ladder exists to
+    prevent."""
     t = F.date_trunc(unit, col)
-    return t.cast("string") if unit == "hour" else t.cast("date").cast("string")
+    s = t.cast("string") if unit == "hour" else t.cast("date").cast("string")
+    return F.coalesce(s, F.lit("null-ts"))
 
 
 def _assign_adaptive_shard(
@@ -173,20 +178,35 @@ def _assign_adaptive_shard(
     )
     counts.unpersist()
 
+    # null-SAFE equality on every join key: date_trunc(NULL ts) is NULL
+    # on both sides, and plain `on=` equality would never match it — a
+    # giant null-ts stream would be flagged over-threshold by the probe
+    # yet silently skip its over-cell row and still pack on one task.
+    # The over side's keys are renamed so the condition is unambiguous.
+    def _null_safe_left(out, right, time_key, extra_cols, tag):
+        rnames = [f"__r{tag}_{j}" for j in range(len(stream_cols))]
+        right = right.select(
+            *[F.col(c).alias(r) for c, r in zip(stream_cols, rnames)],
+            F.col("__t").alias(f"__rt{tag}"),
+            *extra_cols,
+        )
+        cond = out[time_key].eqNullSafe(right[f"__rt{tag}"])
+        for c, r in zip(stream_cols, rnames):
+            cond = cond & out[c].eqNullSafe(right[r])
+        return out.join(F.broadcast(right), on=cond, how="left").drop(
+            *rnames, f"__rt{tag}"
+        )
+
     out = df
     for i, (u, over) in enumerate(overs):
         key = f"__l{i}"
-        out = out.withColumn(key, F.date_trunc(u, F.col(ts_col))).join(
-            F.broadcast(over.select(*stream_cols, F.col("__t").alias(key), F.lit(True).alias(f"__over{i}"))),
-            on=stream_cols + [key],
-            how="left",
+        out = out.withColumn(key, F.date_trunc(u, F.col(ts_col)))
+        out = _null_safe_left(
+            out, over, key, [F.lit(True).alias(f"__over{i}")], str(i)
         )
     fkey = f"__l{len(overs)}"
-    out = out.withColumn(fkey, F.date_trunc(fine, F.col(ts_col))).join(
-        F.broadcast(over_fine.select(*stream_cols, F.col("__t").alias(fkey), "__nsplit")),
-        on=stream_cols + [fkey],
-        how="left",
-    )
+    out = out.withColumn(fkey, F.date_trunc(fine, F.col(ts_col)))
+    out = _null_safe_left(out, over_fine, fkey, [F.col("__nsplit")], "f")
     # first level whose cell is NOT over the threshold wins; an hour cell
     # still over it hash-splits deterministically
     shard = F.concat(
@@ -396,7 +416,12 @@ def chunk_sequences(
     shorter than ``max_len`` (its start is never clamped back to
     ``n - max_len``): e.g. max_len=512, overlap=64, n=513 yields chunks
     of 512 and 65 tokens. Coverage is total — every token appears in
-    ≥ 1 chunk, and overlap-region tokens in exactly 2.
+    ≥ 1 chunk; when ``overlap ≤ max_len/2`` (stride ≥ overlap, the
+    usual configuration) overlap-region tokens appear in exactly 2
+    chunks, while a larger overlap (permitted: any value < max_len)
+    makes windows span >2 strides and interior tokens repeat
+    ``ceil(max_len/stride)`` times — account for that duplication
+    factor when token-weighting.
     Sequences with ≤ max_len tokens yield themselves as chunk 0. Empty
     sequences yield no rows.
 

@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WORD_SPLIT = r"\s+"
+# Explicit whitespace class, NOT \s: Java regex \s includes \x0b,
+# RE2/DuckDB \s does not — so a \s-based split silently diverges from
+# every SQL oracle on documents containing a vertical tab. This class
+# equals RE2's \s, so Spark and the oracles agree byte-for-byte
+# (\x0b is a word character on both sides). Same rule as
+# tokenize.PRETOKEN_PATTERN.
+WORD_SPLIT = r"[ \t\n\f\r]+"
 # whitespace tokens + punctuation split — a BPE-ish pre-tokenizer shape
 BPE_ISH = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 

@@ -36,7 +36,7 @@ RE2/DuckDB agree byte-for-byte — ``\\s`` itself differs between Java
 from __future__ import annotations
 
 import re
-from typing import Iterable, Sequence
+from typing import Iterable, Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -140,30 +140,38 @@ def wordpiece_tokenize(
     pat = re.compile(PRETOKEN_PATTERN)
     mwl, unk = int(max_word_len), unk_token
 
-    def tok(texts: pd.Series) -> pd.DataFrame:
+    # iterator-of-batches form: the memo is initialized ONCE per task
+    # and shared across every Arrow batch the task processes (a
+    # per-batch scalar UDF would reset it every ~10k rows, reducing the
+    # documented worker-level cache to batch-level)
+    def tok(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         sp, cp = bc.value
         memo: dict[str, list[str]] = {}
-        toks_out, unk_out = [], []
-        for text in texts:
-            if text is None:
-                toks_out.append(None)
-                unk_out.append(None)
-                continue
-            toks: list[str] = []
-            n_unk = 0
-            for word in pat.findall(text.lower()):
-                got = memo.get(word)
-                if got is None:
-                    got = _greedy_word(word, sp, cp, mwl, unk)
-                    memo[word] = got
-                toks.extend(got)
-                if got[0] == unk:
-                    n_unk += 1
-            toks_out.append(toks)
-            unk_out.append(n_unk)
-        return pd.DataFrame({"tokens": toks_out, "n_unk": unk_out})
+        for texts in batches:
+            toks_out, unk_out = [], []
+            for text in texts:
+                if text is None:
+                    toks_out.append(None)
+                    unk_out.append(None)
+                    continue
+                toks: list[str] = []
+                n_unk = 0
+                for word in pat.findall(text.lower()):
+                    got = memo.get(word)
+                    if got is None:
+                        got = _greedy_word(word, sp, cp, mwl, unk)
+                        memo[word] = got
+                    toks.extend(got)
+                    if got[0] == unk:
+                        n_unk += 1
+                toks_out.append(toks)
+                unk_out.append(n_unk)
+            yield pd.DataFrame({"tokens": toks_out, "n_unk": unk_out})
 
-    tok.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    tok.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.DataFrame],
+    }
     udf = pandas_udf("struct<tokens: array<string>, n_unk: int>")(tok)
     out = df.withColumn("__wp", udf(F.col(text_col)))
     return (
@@ -278,6 +286,12 @@ def vocab_with_ids(
     pieces = tuple(vocab) if vocab is not None else DEFAULT_VOCAB
     if unk_token in pieces:
         raise ValueError(f"unk_token {unk_token!r} must not be a vocab piece")
+    if len(set(pieces)) != len(pieces):
+        # a duplicate piece would otherwise surface as an opaque
+        # executor-side "Duplicate map key" SparkRuntimeException from
+        # pieces_to_ids' map literal, and ids_to_pieces would decode
+        # two ids to the same piece — fail clearly at the driver
+        raise ValueError("vocab contains duplicate pieces (ids would be ambiguous)")
     return [(unk_token, 0)] + [(p, i + 1) for i, p in enumerate(pieces)]
 
 

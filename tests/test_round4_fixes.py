@@ -213,3 +213,28 @@ def test_chunk_tail_may_be_shorter_than_max_len(spark):
         [6, 7, 8],
     ]
     assert [r.chunk_len for r in rows] == [8, 3]
+
+
+def test_adaptive_shard_handles_null_timestamp_stream(spark):
+    """A giant stream whose timestamps are all NULL must still split
+    (null-safe over-cell joins + a stable 'null-ts' shard label) —
+    plain equality joins would flag the cell over-threshold but never
+    match it, serializing the whole stream on one task."""
+    pdf, _ = _mk_stream(spark, 60, lambda i: pd.Timestamp("2024-01-01"))
+    pdf["event_timestamp"] = pd.NaT
+    df = spark.createDataFrame(
+        pdf,
+        schema="doc_id string, event_timestamp timestamp, "
+        "tokens array<bigint>, n_tok bigint, source string",
+    )
+    out = pack_sequences(df, block_tokens=8, max_stream_rows=20).toPandas()
+    # hash-split fan-out engaged: >1 distinct shard, all carrying the
+    # stable null-ts label, none NULL/empty
+    shards = set(out["shard"])
+    assert len(shards) > 1
+    assert all(s and s.startswith("null-ts#") for s in shards)
+    # conservation + per-shard block reset still hold
+    assert out["n_tokens"].sum() == 2 * 60
+    assert out["n_docs"].sum() == 60
+    for (_, _), grp in out.groupby(["source", "shard"]):
+        assert sorted(grp["block_id"]) == list(range(len(grp)))
