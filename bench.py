@@ -181,7 +181,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
 
-    def record(name: str, samples: list) -> None:
+    def record(name: str, samples: list, shared_memo: bool = False) -> None:
         med = statistics.median(samples)
         timings[name] = round(med, 3)
         detail[name] = {
@@ -189,6 +189,18 @@ def main() -> None:
             "min": round(min(samples), 3),
             "runs": [round(s, 3) for s in samples],
         }
+        if shared_memo:
+            # these queries share a memoized pairs/groups intermediate
+            # (VERDICT r03 #2); the memo is evicted before run[0], so
+            # run[0] is the honest cold cost and later runs are warm.
+            # The headline "median" for a 3-run sample is therefore a
+            # warm number — "cold" carries the full rebuild cost so
+            # round-over-round comparisons stay interpretable
+            # (VERDICT r04 "What's wrong" #2).
+            detail[name]["cold"] = round(samples[0], 3)
+            warm = samples[1:] or samples
+            detail[name]["warm_median"] = round(statistics.median(warm), 3)
+            detail[name]["shared_memo"] = True
 
     throughput, rows = 0.0, 0
     if keep is None or "__headline__" in keep:
@@ -213,11 +225,17 @@ def main() -> None:
         record("headline_throughput_4m", samples)
         throughput = rows / timings["headline_throughput_4m"]
 
+    # queries sharing the memoized dedup pairs/groups intermediate —
+    # their memo is cleared before run[0] so that run measures the full
+    # cold rebuild (incl. upstream family members), not a cache hit
+    memo_shared = ("ngram_jaccard", "dedup_groups", "leakage_safe_split")
     for name, fn in entrymod.queries().items():
         if keep is not None and name not in keep:
             continue
         samples = []
-        for _ in range(runs):
+        for i in range(runs):
+            if name in memo_shared and i == 0:
+                getattr(entrymod, "_DEDUP_MEMO", {}).clear()
             t0 = time.monotonic()
             _noop_write(fn(spark, SF_DIR))
             samples.append(time.monotonic() - t0)
@@ -225,27 +243,32 @@ def main() -> None:
             # runs so 40+ cached lineages don't squeeze the executor heap
             # (also keeps every run cache-cold — comparable)
             spark.catalog.clearCache()
-        record(name, samples)
+        record(name, samples, shared_memo=name in memo_shared)
         # nudge the JVM to collect between queries so garbage from query
         # N doesn't inflate query N+40's times (measured late-suite
         # drift, VERDICT r03 #4); one System.gc() hint costs ~10 ms
         spark.sparkContext._jvm.System.gc()
 
+    # KEY ORDER IS LOAD-BEARING: the driver's BENCH artifact stores only
+    # the LAST 2000 stdout chars, so the big queries_detail blob goes
+    # first and the headline metric/value go LAST on the line
+    # (VERDICT r04 "What's wrong" #1 — the r04 headline value was
+    # truncated out of the artifact because "value" printed first).
     print(
         json.dumps(
             {
-                "metric": "asof_window_materialization_throughput",
-                "value": round(throughput, 1),
-                "unit": "seq/sec",
-                "queries": timings,
                 "queries_detail": detail,
+                "queries": timings,
                 "bench_runs": runs,
+                "cpus": CPUS,
                 "sf": 0.1 if SF_DIR.rstrip("/").endswith("sf0.1") else SF_DIR,
-                "headline_rows": rows,
                 "headline_shape": "throughput_4m (round-4 redefinition; "
                 "queries.headline_asof_window_materialization is the old "
                 "400k latency shape, see BENCH/BASELINE.md)",
-                "cpus": CPUS,
+                "headline_rows": rows,
+                "metric": "asof_window_materialization_throughput",
+                "unit": "seq/sec",
+                "value": round(throughput, 1),
             }
         )
     )

@@ -138,7 +138,10 @@ def bpe_encode(
             out = []
             for text in texts:
                 if text is None:
-                    out.append(None)
+                    # NULL text ⇒ empty token list — matches the DuckDB
+                    # oracle's coalesce convention (ADVICE r04); pinned
+                    # by a unit fixture in tests/test_round5_fixes.py
+                    out.append([])
                     continue
                 toks: list[str] = []
                 for word in pat.findall(text.lower()):

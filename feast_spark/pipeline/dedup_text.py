@@ -647,7 +647,13 @@ def _span_scrub_output(
             F.size(
                 F.filter(
                     cov,
-                    lambda p, i: (i == F.lit(0)) | (F.element_at(cov, i) != p - 1),
+                    # greatest(i, 1): element_at's index must never be 0
+                    # even on the i == 0 branch — relying on Or short-
+                    # circuiting would break under an optimizer rewrite
+                    # (ADVICE r04). At i == 0 the left disjunct is true,
+                    # so the (valid) element_at(cov, 1) value is ignored.
+                    lambda p, i: (i == F.lit(0))
+                    | (F.element_at(cov, F.greatest(i, F.lit(1))) != p - 1),
                 )
             ),
         )

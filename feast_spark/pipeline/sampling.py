@@ -18,6 +18,7 @@ sequence packing for training-block assembly.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -108,6 +109,13 @@ def stratified_sample(
 # coarser than 'day' refine through day then hour before hash-splitting
 _SHARD_LADDER_TAIL = {"day": ["hour"], "hour": []}
 
+# working-column names _assign_adaptive_shard injects on the input frame
+# (__l<i> truncation keys, __over<i> flags, __nsplit fan-out, __r*/__rt*
+# renamed join keys) — reserved, see the guard in _assign_adaptive_shard
+_RESERVED_SHARD_COLS = re.compile(
+    r"^__(?:l\d+|over\d+|nsplit|r[a-z0-9]*_\d+|rt[a-z0-9]*)$"
+)
+
 
 def _shard_str(unit: str, col: Column) -> Column:
     """Render a date_trunc'd timestamp as the shard label: date string
@@ -137,6 +145,16 @@ def _assign_adaptive_shard(
     are ≤ total_rows/max_rows entries each (an over cell holds > max_rows
     rows), eagerly localCheckpointed, and broadcast onto the data — the
     data itself is scanned once and never shuffled here."""
+    # the withColumn/drop dance below injects working columns onto the
+    # INPUT frame; an input that already carries one of these names
+    # would silently corrupt shard assignment (ADVICE r04) — refuse,
+    # mirroring pack_sequences' 'shard' guard
+    clash = [c for c in df.columns if _RESERVED_SHARD_COLS.match(c)]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with adaptive-shard working "
+            "columns (__l<i>/__over<i>/__nsplit/__r*) — rename them"
+        )
     ladder = [unit] + _SHARD_LADDER_TAIL.get(unit, ["day", "hour"])
     fine = ladder[-1]
     counts = (

@@ -151,8 +151,13 @@ def wordpiece_tokenize(
             toks_out, unk_out = [], []
             for text in texts:
                 if text is None:
-                    toks_out.append(None)
-                    unk_out.append(None)
+                    # NULL text ⇒ empty token list, zero unknowns — the
+                    # same convention the DuckDB replay oracle's
+                    # coalesce uses (ADVICE r04: NULL-vs-[] divergence
+                    # was latent because the synthetic corpus has no
+                    # NULL rows; pinned by a unit fixture)
+                    toks_out.append([])
+                    unk_out.append(0)
                     continue
                 toks: list[str] = []
                 n_unk = 0

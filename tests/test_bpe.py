@@ -100,7 +100,9 @@ def test_punctuation_and_case_and_null(spark):
     rows = bpe_encode(df).collect()
     assert rows[0]["tokens"][0] == "the"
     assert "!" in rows[0]["tokens"]
-    assert rows[1]["tokens"] is None
+    # NULL text coalesces to [] — the DuckDB oracle's convention
+    # (ADVICE r04 pinned this; previously NULL -> NULL diverged latently)
+    assert rows[1]["tokens"] == []
     assert rows[2]["tokens"] == []
 
 

@@ -1,0 +1,56 @@
+"""Round-5 regression pins for the ADVICE r04 fixes.
+
+- tokenizer NULL-text convention ([] / 0, matching the DuckDB oracles)
+  is pinned in test_tokenize.py / test_bpe.py (assertions updated);
+- adaptive-shard reserved working columns are refused (previously an
+  input already carrying e.g. ``__nsplit`` silently corrupted shard
+  assignment via the withColumn/drop dance);
+- the dedup-spans span-count predicate no longer relies on Or
+  short-circuiting to avoid element_at(cov, 0) (covered by the existing
+  test_dedup_spans suite running against the rewritten predicate; an
+  explicit first-word-covered case is added here).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark import datagen
+from feast_spark.pipeline.dedup_text import remove_duplicate_spans
+from feast_spark.pipeline.sampling import pack_sequences
+
+
+@pytest.mark.parametrize("bad", ["__l0", "__over1", "__nsplit", "__rf_0", "__rt0"])
+def test_pack_sequences_rejects_reserved_working_columns(spark, bad):
+    pdf = datagen.token_sequences(n_docs=8, versions_per_doc=1, seed=5)
+    df = datagen.to_spark(spark, pdf).withColumn(bad, F.lit(1))
+    with pytest.raises(ValueError, match="collide with adaptive-shard"):
+        pack_sequences(df, block_tokens=512, max_stream_rows=4)
+
+
+def test_pack_sequences_allows_benign_dunder_columns(spark):
+    # the guard is a tight pattern, not a blanket __-prefix ban
+    pdf = datagen.token_sequences(n_docs=8, versions_per_doc=1, seed=5)
+    df = datagen.to_spark(spark, pdf).withColumn("__label", F.lit("x"))
+    blocks = pack_sequences(df, block_tokens=512, max_stream_rows=4)
+    assert blocks.count() > 0
+
+
+def test_dedup_spans_counts_span_starting_at_word_zero(spark):
+    # duplicated 4-gram at position 0 of both docs: the span-count
+    # filter's i == 0 branch must fire without evaluating
+    # element_at(cov, 0)
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta unique one two three"),
+            ("b", "alpha beta gamma delta other four five six"),
+        ],
+        "doc_id string, text string",
+    )
+    out = remove_duplicate_spans(df, ngram=4).orderBy("doc_id").collect()
+    # keeper doc retains its text; the other loses the leading 4 words
+    spans = {r["doc_id"]: r["n_dup_spans"] for r in out}
+    removed = {r["doc_id"]: r["n_removed_words"] for r in out}
+    assert sorted(spans.values()) == [0, 1]
+    assert sorted(removed.values()) == [0, 4]
+    scrubbed = next(r for r in out if r["n_dup_spans"] == 1)
+    assert not scrubbed["text_deduped"].startswith("alpha")

@@ -80,7 +80,9 @@ def test_null_and_empty_text(spark):
         pd.DataFrame({"text": pd.Series([None, "", "   "], dtype="object")})
     )
     rows = wordpiece_tokenize(df).select("tokens", "n_unk").collect()
-    assert rows[0]["tokens"] is None and rows[0]["n_unk"] is None
+    # NULL text coalesces to ([], 0) — the DuckDB oracle's convention
+    # (ADVICE r04 pinned this; previously NULL -> NULL diverged latently)
+    assert list(rows[0]["tokens"]) == [] and rows[0]["n_unk"] == 0
     assert list(rows[1]["tokens"]) == [] and rows[1]["n_unk"] == 0
     assert list(rows[2]["tokens"]) == [] and rows[2]["n_unk"] == 0
 
