@@ -54,3 +54,36 @@ def test_dedup_spans_counts_span_starting_at_word_zero(spark):
     assert sorted(removed.values()) == [0, 4]
     scrubbed = next(r for r in out if r["n_dup_spans"] == 1)
     assert not scrubbed["text_deduped"].startswith("alpha")
+
+
+def test_dedup_spans_plan_has_no_gram_window(spark):
+    # VERDICT r04 #3: the r04 form ran Window.partitionBy(gh), sending
+    # every occurrence of a hot gram to ONE task. The r05 form must
+    # mark duplicates via a map-side-combinable aggregate + join — the
+    # only Window-free plan shape. (The scrub epilogue uses no window
+    # either, so the whole plan must be Window-free.)
+    df = spark.createDataFrame(
+        [("a", "one two three four five six seven eight nine")],
+        "doc_id string, text string",
+    )
+    out = remove_duplicate_spans(df, ngram=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+    # and the duplicate-marking aggregate is present
+    assert "count(" in plan and "min(" in plan
+
+
+def test_dedup_spans_cache_grams_off_matches(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta unique one two three"),
+            ("b", "alpha beta gamma delta other four five six"),
+            ("c", "no duplicated grams in this document at all"),
+        ],
+        "doc_id string, text string",
+    )
+    on = remove_duplicate_spans(df, ngram=4).orderBy("doc_id").collect()
+    off = remove_duplicate_spans(df, ngram=4, cache_grams=False).orderBy(
+        "doc_id"
+    ).collect()
+    assert on == off
