@@ -2162,6 +2162,30 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_bpe_learn(spark, sf_dir):
+    """Distributed BPE merge-table learning over ``documents`` (the
+    trainer side of q_bpe_tokenize; Sennrich et al. 2016 learn_bpe):
+    16 rounds of max-frequency adjacent-pair selection over the
+    distinct-word table, ties broken lexicographically. No reference
+    counterpart. Each round is one combinable shuffle + a 1-row
+    collect; the corpus is scanned once. Emits (rank, lft, rgt, freq)
+    — freq is the pair's corpus frequency at selection time, so the
+    oracle checks the statistics, not just the chosen pairs."""
+    from feast_spark.pipeline.bpe import bpe_learn
+
+    rows = bpe_learn(
+        _docs(spark, sf_dir).select("text"),
+        n_merges=16,
+        min_freq=2,
+        max_word_len=16,
+        with_freqs=True,
+    )
+    data = [(i, left, right, f) for i, (left, right, f) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "rank bigint, lft string, rgt string, freq bigint"
+    )
+
+
 def q_token_ids(spark, sf_dir):
     """Raw text → the north-rule input-table shape: WordPiece tokens
     mapped to integer ids (``pieces_to_ids`` — codegen literal-map
@@ -2534,6 +2558,81 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _bpe_learn_oracle(
+    n_merges: int = 16, min_freq: int = 2, max_word_len: int = 16
+) -> str:
+    """Full SQL replay of the BPE TRAINER in DuckDB (VERDICT r04
+    "What's missing" #1 — the apply side was oracle-green since r04,
+    the learning loop was pytest-only).
+
+    Replays every round: the distinct-word frequency table is encoded
+    as bracket strings (same trick as ``_bpe_oracle``); round ``i``'s
+    pair statistics come from re-splitting the current states and
+    summing word frequencies over adjacent token pairs (ALL adjacent
+    positions, overlapping included — exactly the Spark trainer's
+    zip_with extraction); the argmax pair (freq desc, then left/right
+    lexicographic — tokens are pure [a-z0-9], so binary collation
+    agrees across engines) is materialized per round as a 0-or-1-row
+    CTE, and the next state applies it via bracket-``replace``
+    (merge-all-occurrences, left-to-right). Early stopping replays
+    structurally: a round whose best pair misses ``min_freq`` yields
+    an empty CTE, the state passes through unchanged (COALESCE), and
+    every later round recomputes the identical below-threshold
+    statistics — so emitted rows exactly equal the trainer's merges.
+    Equivalence note: the Spark trainer re-tokenizes words from
+    scratch each round with the priority-loop ``_bpe_word`` while this
+    replay applies the new merge incrementally; the two agree because
+    in a LEARNED table every pair's multi-char sides are produced by
+    earlier-ranked merges, so rank-order application equals the
+    priority loop (the same producibility invariant ``DEFAULT_MERGES``
+    documents)."""
+    from feast_spark.pipeline.tokenize import PRETOKEN_PATTERN
+
+    rounds = []
+    final_rows = []
+    for i in range(n_merges):
+        rounds.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT toks[j] l, toks[j + 1] r, SUM(freq) w
+  FROM (SELECT freq, regexp_extract_all(state, '<([^>]*)>', 1) toks
+        FROM s{i}) x,
+       unnest(generate_series(1, len(toks) - 1)) AS u(j)
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r, w FROM p{i} WHERE w >= {min_freq}
+  ORDER BY w DESC, l ASC, r ASC LIMIT 1
+), s{i + 1} AS MATERIALIZED (
+  SELECT freq,
+         COALESCE(replace(state,
+                          '<' || (SELECT l FROM b{i}) || '><' ||
+                                 (SELECT r FROM b{i}) || '>',
+                          '<' || (SELECT l FROM b{i}) ||
+                                 (SELECT r FROM b{i}) || '>'),
+                  state) state
+  FROM s{i}
+)"""
+        )
+        final_rows.append(
+            f"SELECT CAST({i} AS BIGINT) rank, l lft, r rgt, "
+            f"CAST(w AS BIGINT) freq FROM b{i}"
+        )
+    rounds_sql = ",\n".join(rounds)
+    union_sql = "\nUNION ALL\n".join(final_rows)
+    return f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{PRETOKEN_PATTERN}')) word
+    FROM documents
+  ) WHERE length(word) BETWEEN 2 AND {max_word_len}
+  GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT freq, regexp_replace(word, '(.)', '<\\1>', 'g') state FROM words
+),
+{rounds_sql}
+{union_sql}
+"""
+
+
 def _lsh_topk_oracle() -> str:
     """Full SQL replay of lsh_topk (quantized signatures): the sign
     bits come from EXACT int64 dots over floor(x*1e6+0.5)-quantized
@@ -2617,7 +2716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver evidence plus the local tools/check_oracles.py gate (see
     # NOTES_ROUND4.md).
     return {
-        # round-4 new queries first (never in a driver artifact yet)
+        # round-5 new queries first (never in a driver artifact yet)
+        "bpe_learn": q_bpe_learn,
+        # round-4 new queries
         "decontaminate_spans": q_decontaminate_spans,
         "token_ids": q_token_ids,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2687,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
+        "bpe_learn": _bpe_learn_oracle(),
         "decontaminate_spans": _DECON_SPANS_ORACLE,
         "token_ids": _token_ids_oracle(),
         "bpe_tokenize": _bpe_oracle(),

@@ -186,6 +186,21 @@ def test_learn_matches_reference_trainer(spark):
     assert got[0] == ("t", "h")  # 'th' dominates this corpus
 
 
+def test_learn_driver_and_distributed_paths_agree(spark):
+    texts = [
+        "the theme of the thesis",
+        "banana bandana and sandbars",
+        "supercalifragilistic but short words win",
+    ] * 2
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    local = bpe_learn(df, n_merges=10, min_freq=2, with_freqs=True)
+    dist = bpe_learn(
+        df, n_merges=10, min_freq=2, with_freqs=True, driver_vocab_rows=None
+    )
+    assert local == dist
+    assert len(local) > 0 and all(f >= 2 for *_, f in local)
+
+
 def test_learn_min_freq_stops_early(spark):
     df = spark.createDataFrame([("ab ab cd",)], "text string")
     # (a,b) appears twice, (c,d) once -> only one merge at min_freq=2
