@@ -2162,6 +2162,37 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_decontaminate_ids(spark, sf_dir):
+    """Ids-space span decontamination: documents are tokenized to the
+    north-rule (doc_id, tokens:array<int>) shape (WordPiece +
+    pieces_to_ids — the same path as token_ids), then every 8-TOKEN id
+    window that occurs in the pseudo-benchmark subset
+    (doc_id % 17 == 0, tokenized identically) is scrubbed from the id
+    arrays directly — the decontamination a pipeline that stores only
+    ids can still run (text-space scrubbing needs the raw text).
+    Benchmark id-gram hash set broadcast; corpus never shuffles on
+    gram; the only shuffle is the per-doc hit fold."""
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_token_spans
+    from feast_spark.pipeline.tokenize import pieces_to_ids, wordpiece_tokenize
+
+    ids = wordpiece_tokenize(_docs(spark, sf_dir)).select(
+        "doc_id", pieces_to_ids(F.col("tokens")).alias("token_ids")
+    )
+    bench = ids.filter(F.col("doc_id").cast("long") % 17 == 0)
+    out = scrub_contaminated_token_spans(
+        ids, bench, tokens_col="token_ids", ngram=8, out_col="ids_clean"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tok_in").cast("long").alias("n_tok_in"),
+        F.col("n_hit_spans").cast("long").alias("n_hit_spans"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.transform("ids_clean", lambda i: i.cast("string")))
+        ).alias("clean_ids_md5"),
+    )
+
+
 def q_bpe_learn(spark, sf_dir):
     """Distributed BPE merge-table learning over ``documents`` (the
     trainer side of q_bpe_tokenize; Sennrich et al. 2016 learn_bpe):
@@ -2558,6 +2589,74 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _decontaminate_ids_oracle(ngram: int = 8) -> str:
+    """SQL replay of the ids-space span decontamination: the full
+    WordPiece oracle runs as a nested CTE, tokens map to ids via the
+    ``vocab_with_ids`` literal table (id 0 = OOV), per-doc id arrays
+    re-assemble in token order, and the gram/cover/span machinery is
+    the text-space ``_DECON_SPANS_ORACLE``'s, applied to comma-joined
+    id slices (the same portable 60-bit md5 hash the Spark side
+    computes)."""
+    from feast_spark.pipeline.tokenize import vocab_with_ids
+
+    vocab_rows = ", ".join(
+        "('{p}', {i})".format(p=piece.replace("'", "''"), i=pid)
+        for piece, pid in vocab_with_ids()
+    )
+    inner = _tokenize_oracle()
+    n1 = ngram - 1
+    return f"""
+WITH tk AS (
+{inner}
+), vmap(piece, id) AS (VALUES {vocab_rows}),
+tkarr AS (
+  SELECT doc_id, list_filter(string_split(token_str, ' '), x -> x <> '') arr
+  FROM tk
+), tpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM tkarr
+), mapped AS (
+  SELECT t.doc_id, t.wi, COALESCE(v.id, 0) id
+  FROM (SELECT doc_id, wi, arr[wi] tok FROM tpos) t
+  LEFT JOIN vmap v ON v.piece = t.tok
+), ids AS (
+  SELECT doc_id, list(CAST(id AS VARCHAR) ORDER BY wi) arr
+  FROM mapped GROUP BY 1
+), g AS (
+  SELECT doc_id, s - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+{n1}], ',')), 1, 15)) AS BIGINT) gh
+  FROM (SELECT doc_id, unnest(generate_series(1, len(arr) - {ngram} + 1)) s, arr
+        FROM ids WHERE len(arr) >= {ngram}) w
+), bg AS (
+  SELECT DISTINCT gh FROM g WHERE CAST(doc_id AS BIGINT) % 17 = 0
+), covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + {n1})) p
+    FROM g JOIN bg USING (gh)
+  ) t
+), spans AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE prev IS NULL OR p - prev > 1) n_hit_spans,
+         COUNT(*) n_removed
+  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) prev
+        FROM covered) x
+  GROUP BY 1
+), clean AS (
+  SELECT m.doc_id, string_agg(CAST(m.id AS VARCHAR), ' ' ORDER BY m.wi) s
+  FROM mapped m LEFT JOIN covered c ON m.doc_id = c.doc_id AND m.wi - 1 = c.p
+  WHERE c.p IS NULL GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(len(i.arr), 0) AS BIGINT) AS n_tok_in,
+       CAST(COALESCE(s.n_hit_spans, 0) AS BIGINT) AS n_hit_spans,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       md5(COALESCE(cl.s, '')) AS clean_ids_md5
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN ids i USING (doc_id)
+LEFT JOIN spans s USING (doc_id)
+LEFT JOIN clean cl USING (doc_id)
+"""
+
+
 def _bpe_learn_oracle(
     n_merges: int = 16, min_freq: int = 2, max_word_len: int = 16
 ) -> str:
@@ -2718,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 new queries first (never in a driver artifact yet)
         "bpe_learn": q_bpe_learn,
+        "decontaminate_ids": q_decontaminate_ids,
         # round-4 new queries
         "decontaminate_spans": q_decontaminate_spans,
         "token_ids": q_token_ids,
@@ -2789,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
     # mirrors queries() registration order — see the note there
     return {
         "bpe_learn": _bpe_learn_oracle(),
+        "decontaminate_ids": _decontaminate_ids_oracle(),
         "decontaminate_spans": _DECON_SPANS_ORACLE,
         "token_ids": _token_ids_oracle(),
         "bpe_tokenize": _bpe_oracle(),

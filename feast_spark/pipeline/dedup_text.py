@@ -601,6 +601,92 @@ def remove_duplicate_spans(
     )
 
 
+def scrub_contaminated_token_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    bench_tokens_col: str | None = None,
+    out_col: str = "tokens_clean",
+) -> DataFrame:
+    """Ids-space span-level benchmark decontamination (VERDICT r04
+    "What's missing" #2): the ``scrub_contaminated_spans`` pass for a
+    pipeline that stores only pre-tokenized id sequences — the
+    north-rule ``(doc_id, tokens:array<int>, ...)`` shape — where the
+    original text is gone and text-space scrubbing is impossible.
+    Every ``ngram``-token window of a training document whose id
+    sequence occurs anywhere in the (tokenized) benchmark set is
+    removed; survivors keep their order.
+
+    Appended columns: ``n_tok_in`` (input length), ``n_hit_spans``
+    (maximal merged removed intervals), ``n_removed_tokens``,
+    ``out_col`` (the scrubbed ``array`` itself — no re-join, ids stay
+    ids).
+
+    Plan for 100 TB: identical to the text-space pass — the benchmark
+    gram-hash set (portable 60-bit hash of the comma-joined id slice,
+    codegen) is BROADCAST, the corpus is scanned once and matched
+    map-side, and the per-doc ``collect_list`` of hits is the only
+    shuffle; the corpus never shuffles on gram. Tokenizer caveat: both
+    sides must be tokenized with the SAME vocab/merges — a benchmark
+    tokenized under a different vocab produces disjoint id n-grams and
+    scrubs nothing (that property is inherent to ids-space matching,
+    not a bug; decontaminate in text space when tokenizers differ).
+    """
+    if ngram < 2:
+        raise ValueError("ngram must be >= 2")
+    for c in ("__elems", "__starts", "__covered"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    base = df.withColumn("__elems", F.col(tokens_col))
+    grams = _id_span_grams(base, id_col, ngram)
+    bcol = bench_tokens_col or tokens_col
+    bench_base = benchmark.select(F.col(bcol).alias("__elems")).withColumn(
+        "__bid", F.lit(0)
+    )
+    bench_grams = _id_span_grams(bench_base, "__bid", ngram).select("gh").distinct()
+    marked = grams.join(F.broadcast(bench_grams), on="gh").select("__id", "pos")
+    return _span_scrub_output(
+        base,
+        marked,
+        id_col,
+        ngram,
+        span_count_col="n_hit_spans",
+        out_col=out_col,
+        arr_col="__elems",
+        count_col="n_tok_in",
+        removed_col="n_removed_tokens",
+        join_out=False,
+    )
+
+
+def _id_span_grams(base: DataFrame, id_col: str, ngram: int) -> DataFrame:
+    """(__id, pos, gh) for every ``ngram``-token window of the
+    ``__elems`` array: gh is the portable 60-bit hash of the
+    comma-joined id slice (codegen; comma keeps id boundaries
+    unambiguous — '1,23' ≠ '12,3')."""
+    starts = F.when(
+        F.size("__elems") >= ngram,
+        F.sequence(F.lit(0), F.size("__elems") - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col).alias("__id"), F.explode(starts).alias("pos"), "__elems"
+    ).select(
+        "__id",
+        "pos",
+        portable_hash64(
+            F.array_join(
+                F.transform(
+                    F.slice("__elems", F.col("pos") + 1, ngram),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("gh"),
+    )
+
+
 def _span_words_base(df: DataFrame, text_col: str) -> DataFrame:
     """Shared word-splitting prologue for the span ops: non-empty
     whitespace-split words appended as ``__words`` — ``word_tokens``'s
@@ -639,12 +725,17 @@ def _span_scrub_output(
     ngram: int,
     span_count_col: str,
     out_col: str,
+    arr_col: str = "__words",
+    count_col: str = "n_words",
+    removed_col: str = "n_removed_words",
+    join_out: bool = True,
 ) -> DataFrame:
     """Shared epilogue: fold marked gram starts per doc, expand to
-    covered word positions, emit ``n_words`` / ``span_count_col``
-    (maximal merged removed intervals) / ``n_removed_words`` /
-    ``out_col`` (surviving words re-joined). Array HOFs only — the
-    per-doc ``collect_list`` is the single shuffle."""
+    covered element positions, emit ``count_col`` / ``span_count_col``
+    (maximal merged removed intervals) / ``removed_col`` / ``out_col``
+    (survivors — re-joined with spaces when ``join_out``, else the
+    filtered array itself, for ids-space callers). Array HOFs only —
+    the per-doc ``collect_list`` is the single shuffle."""
     per_doc = marked.groupBy("__id").agg(F.collect_list("pos").alias("__starts"))
     joined = base.join(per_doc, base[id_col] == per_doc["__id"], "left").drop("__id")
     covered = F.array_sort(
@@ -659,8 +750,9 @@ def _span_scrub_output(
     )
     out = joined.withColumn("__covered", covered)
     cov = F.col("__covered")
+    survivors = F.filter(arr_col, lambda w, i: ~F.array_contains(cov, i))
     return (
-        out.withColumn("n_words", F.size("__words"))
+        out.withColumn(count_col, F.size(arr_col))
         .withColumn(
             span_count_col,
             F.size(
@@ -676,14 +768,11 @@ def _span_scrub_output(
                 )
             ),
         )
-        .withColumn("n_removed_words", F.size("__covered"))
+        .withColumn(removed_col, F.size("__covered"))
         .withColumn(
-            out_col,
-            F.array_join(
-                F.filter("__words", lambda w, i: ~F.array_contains(cov, i)), " "
-            ),
+            out_col, F.array_join(survivors, " ") if join_out else survivors
         )
-        .drop("__words", "__starts", "__covered")
+        .drop(arr_col, "__starts", "__covered")
     )
 
 

@@ -73,6 +73,37 @@ def test_dedup_spans_plan_has_no_gram_window(spark):
     assert "count(" in plan and "min(" in plan
 
 
+def test_scrub_contaminated_token_spans(spark):
+    from feast_spark.pipeline.dedup_text import scrub_contaminated_token_spans
+
+    # bench doc holds ids [1..8]; train doc a embeds that exact window
+    # at positions 2..9; train doc b shares no 4-gram with the bench
+    bench = spark.createDataFrame(
+        [("x", [1, 2, 3, 4, 5, 6, 7, 8])], "doc_id string, tokens array<int>"
+    )
+    train = spark.createDataFrame(
+        [
+            ("a", [90, 91, 1, 2, 3, 4, 5, 6, 7, 8, 92]),
+            ("b", [1, 2, 3, 90, 5, 6, 7, 91]),
+            ("c", [7, 7]),  # shorter than the gram
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_contaminated_token_spans(train, bench, ngram=4).collect()
+    }
+    assert out["a"]["n_tok_in"] == 11
+    assert out["a"]["n_hit_spans"] == 1
+    assert out["a"]["n_removed_tokens"] == 8
+    assert list(out["a"]["tokens_clean"]) == [90, 91, 92]
+    assert out["b"]["n_removed_tokens"] == 0
+    assert list(out["b"]["tokens_clean"]) == [1, 2, 3, 90, 5, 6, 7, 91]
+    assert out["c"]["n_removed_tokens"] == 0 and out["c"]["n_hit_spans"] == 0
+    # original ids column is preserved alongside the scrubbed one
+    assert list(out["a"]["tokens"]) == [90, 91, 1, 2, 3, 4, 5, 6, 7, 8, 92]
+
+
 def test_dedup_spans_cache_grams_off_matches(spark):
     df = spark.createDataFrame(
         [
