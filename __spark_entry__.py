@@ -2836,20 +2836,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness
-    # artifact has carried exactly the first 50 registration-order keys
-    # in every round (CORRECTNESS_r02/r03 both froze at the same 50
-    # while 58 were registered), so the 8 queries that had never
-    # appeared in a driver artifact are registered FIRST this round.
-    # The queries rotated past position 50 all have 2-3 rounds of green
-    # driver evidence plus the local tools/check_oracles.py gate (see
-    # NOTES_ROUND4.md).
     return {
-        # round-5 new queries first (never in a driver artifact yet)
+        # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness
+        # artifact carries exactly the first 50 registration-order keys
+        # (proven r04 — NOTES_ROUND4.md). Standing rotation policy
+        # (VERDICT r04 #1 / ADVICE r04): never-covered queries first,
+        # then queries absent from the previous artifact, then the
+        # rest; the 16 rotated past 50 this round all carry fresh r04
+        # green driver rows (most with r01-r04 history) and the local
+        # tools/check_oracles.py gate re-verifies all 66 every round.
+        # --- round-5 new (never in any driver artifact)
         "bpe_learn": q_bpe_learn,
         "decontaminate_ids": q_decontaminate_ids,
         "dedup_runs": q_dedup_runs,
-        # round-4 new queries
+        # --- absent from the r04 artifact (last driver row r01-r03)
+        "lsh_dup_pairs": q_lsh_dup_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "dedup_groups": q_dedup_groups,
+        "kmeans_clusters": q_kmeans_clusters,
+        "deterministic_sample": q_deterministic_sample,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample": q_stratified_sample,
+        "replicated_sample": q_replicated_sample,
+        "leakage_safe_split": q_leakage_safe_split,
+        "pull_all_range": q_pull_all_range,
+        # --- r04-covered, kept inside the 50-key cap
         "decontaminate_spans": q_decontaminate_spans,
         "token_ids": q_token_ids,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2873,6 +2887,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_agg": q_tumbling_agg,
         "sliding_agg": q_sliding_agg,
         "rolling_trailing": q_rolling_trailing,
+        "odfv_adjusted": q_odfv_adjusted,
+        "pit_windowed_agg": q_pit_windowed_agg,
+        "pit_backfill": q_pit_backfill,
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_signatures": q_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "winnowing": q_winnowing,
+        "embedding_topk": q_embedding_topk,
+        "embedding_dups": q_embedding_dups,
+        # --- rotated out this round (green r04 rows + local gate)
         "pricing_summary": q_pricing_summary,
         "grouped_stats": q_grouped_stats,
         "top_users": q_top_users,
@@ -2885,43 +2911,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_buckets": q_ntile_buckets,
         "value_percentiles": q_value_percentiles,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "odfv_adjusted": q_odfv_adjusted,
-        "pit_windowed_agg": q_pit_windowed_agg,
-        "pit_backfill": q_pit_backfill,
         "customer_orders": q_customer_orders,
         "token_counts": q_token_counts,
         "quality_features": q_quality_features,
         "lang_detect": q_lang_detect,
-        "exact_dup_groups": q_exact_dup_groups,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_signatures": q_minhash,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "winnowing": q_winnowing,
-        "embedding_topk": q_embedding_topk,
-        "embedding_dups": q_embedding_dups,
-        "lsh_dup_pairs": q_lsh_dup_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_topk": q_lsh_topk,
-        "image_features": q_image_features,
-        "frame_sample": q_frame_sample,
-        "dedup_groups": q_dedup_groups,
-        "kmeans_clusters": q_kmeans_clusters,
-        "deterministic_sample": q_deterministic_sample,
-        "pack_sequences": q_pack_sequences,
-        "stratified_sample": q_stratified_sample,
-        "replicated_sample": q_replicated_sample,
-        "leakage_safe_split": q_leakage_safe_split,
-        "pull_all_range": q_pull_all_range,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # mirrors queries() registration order — see the note there
+    # mirrors queries() registration order — see the note there.
+    # lsh_topk: oracle-paired since round 3 (INTEGER-quantized signatures
+    # made the sign bits engine-portable; recall@k vs brute force remains
+    # golden-tested in tests/test_pipeline_similarity.py).
     return {
         "bpe_learn": _bpe_learn_oracle(),
         "decontaminate_ids": _decontaminate_ids_oracle(),
         "dedup_runs": _dedup_spans_oracle_sql(16, False),
+        "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "lsh_topk": _lsh_topk_oracle(),
+        "image_features": _IMAGE_FEATURES_ORACLE,
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
+        "dedup_groups": _DEDUP_GROUPS_ORACLE,
+        "kmeans_clusters": _KMEANS_ORACLE,
+        "deterministic_sample": _DET_SAMPLE_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
+        "stratified_sample": _stratified_oracle(),
+        "replicated_sample": _REPLICATED_ORACLE,
+        "leakage_safe_split": _LEAKAGE_SPLIT_ORACLE,
+        "pull_all_range": _PULL_ALL_ORACLE,
         "decontaminate_spans": _DECON_SPANS_ORACLE,
         "token_ids": _token_ids_oracle(),
         "bpe_tokenize": _bpe_oracle(),
@@ -2945,6 +2963,17 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_agg": _TUMBLING_ORACLE,
         "sliding_agg": _SLIDING_ORACLE,
         "rolling_trailing": _ROLLING_ORACLE,
+        "odfv_adjusted": _ODFV_ORACLE,
+        "pit_windowed_agg": _PIT_WINAGG_ORACLE,
+        "pit_backfill": _PIT_BACKFILL_ORACLE,
+        "exact_dup_groups": _EXACT_DUP_ORACLE,
+        "exact_dedup_docs": _EXACT_DEDUP_DOCS_ORACLE,
+        "minhash_signatures": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "winnowing": _WINNOWING_ORACLE,
+        "embedding_topk": _EMB_TOPK_ORACLE,
+        "embedding_dups": _EMB_DUPS_ORACLE,
         "pricing_summary": _PRICING_ORACLE,
         "grouped_stats": _GROUPED_STATS_ORACLE,
         "top_users": _TOP_USERS_ORACLE,
@@ -2957,38 +2986,8 @@ def oracle_sql() -> dict[str, str]:
         "ntile_buckets": _NTILE_ORACLE,
         "value_percentiles": _PCT_ORACLE,
         "tfidf_top_terms": _TFIDF_ORACLE,
-        "odfv_adjusted": _ODFV_ORACLE,
-        "pit_windowed_agg": _PIT_WINAGG_ORACLE,
-        "pit_backfill": _PIT_BACKFILL_ORACLE,
         "customer_orders": _CUSTOMER_ORDERS_ORACLE,
         "token_counts": _TOKEN_COUNTS_ORACLE,
         "quality_features": _QUALITY_ORACLE,
         "lang_detect": _LANG_ORACLE,
-        "exact_dup_groups": _EXACT_DUP_ORACLE,
-        "exact_dedup_docs": _EXACT_DEDUP_DOCS_ORACLE,
-        "deterministic_sample": _DET_SAMPLE_ORACLE,
-        "minhash_signatures": _minhash_oracle(),
-        "simhash": _simhash_oracle(),
-        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "winnowing": _WINNOWING_ORACLE,
-        "embedding_topk": _EMB_TOPK_ORACLE,
-        "embedding_dups": _EMB_DUPS_ORACLE,
-        "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
-        "simhash_pairs": _simhash_pairs_oracle(),
-        "image_features": _IMAGE_FEATURES_ORACLE,
-        "frame_sample": _FRAME_SAMPLE_ORACLE,
-        "dedup_groups": _DEDUP_GROUPS_ORACLE,
-        "kmeans_clusters": _KMEANS_ORACLE,
-        "pack_sequences": _PACK_ORACLE,
-        "stratified_sample": _stratified_oracle(),
-        "replicated_sample": _REPLICATED_ORACLE,
-        "leakage_safe_split": _LEAKAGE_SPLIT_ORACLE,
-        "pull_all_range": _PULL_ALL_ORACLE,
-        # lsh_topk: oracle-paired since round 3 — the signatures are now
-        # computed over INTEGER-quantized vectors/planes (exact int64
-        # dots, floor(x*1e6+0.5) on both engines), which removed the
-        # float-sign-bit portability gap that kept this rows-only in
-        # rounds 1-2. Recall@k vs brute force remains golden-tested in
-        # tests/test_pipeline_similarity.py.
-        "lsh_topk": _lsh_topk_oracle(),
     }
