@@ -2180,6 +2180,34 @@ def q_dedup_runs(spark, sf_dir):
     )
 
 
+def q_dedup_token_runs(spark, sf_dir):
+    """Ids-space min-length ExactSubstr: documents tokenized to the
+    north-rule (doc_id, tokens:array<int>) shape, then every token
+    inside a duplicated 16-TOKEN id run (2+ occurrences corpus-wide)
+    is scrubbed from the arrays, all occurrences — Lee et al.'s
+    formulation actually runs over the tokenized stream, so this is
+    the closest operator to the paper. Same skew-proof agg+AQE-join
+    plan as dedup_spans/dedup_runs."""
+    from feast_spark.pipeline.dedup_text import remove_duplicate_token_runs
+    from feast_spark.pipeline.tokenize import pieces_to_ids, wordpiece_tokenize
+
+    ids = wordpiece_tokenize(_docs(spark, sf_dir)).select(
+        "doc_id", pieces_to_ids(F.col("tokens")).alias("token_ids")
+    )
+    out = remove_duplicate_token_runs(
+        ids, min_len=16, tokens_col="token_ids", out_col="ids_deduped"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tok_in").cast("long").alias("n_tok_in"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("n_removed_tokens").cast("long").alias("n_removed_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.transform("ids_deduped", lambda i: i.cast("string")))
+        ).alias("clean_ids_md5"),
+    )
+
+
 def q_decontaminate_ids(spark, sf_dir):
     """Ids-space span decontamination: documents are tokenized to the
     north-rule (doc_id, tokens:array<int>) shape (WordPiece +
@@ -2687,6 +2715,71 @@ LEFT JOIN clean cl USING (doc_id)
 """
 
 
+def _dedup_token_runs_oracle(min_len: int = 16) -> str:
+    """SQL replay of the ids-space min-length ExactSubstr: nested
+    WordPiece→ids replay (same prologue as the decontaminate_ids
+    oracle), id-gram cover marking with corpus-wide occurrence count
+    ≥ 2 (scrub-all — no keeper), gaps-and-islands span stats."""
+    from feast_spark.pipeline.tokenize import vocab_with_ids
+
+    vocab_rows = ", ".join(
+        "('{p}', {i})".format(p=piece.replace("'", "''"), i=pid)
+        for piece, pid in vocab_with_ids()
+    )
+    inner = _tokenize_oracle()
+    n1 = min_len - 1
+    return f"""
+WITH tk AS (
+{inner}
+), vmap(piece, id) AS (VALUES {vocab_rows}),
+tkarr AS (
+  SELECT doc_id, list_filter(string_split(token_str, ' '), x -> x <> '') arr
+  FROM tk
+), tpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) wi, arr FROM tkarr
+), mapped AS (
+  SELECT t.doc_id, t.wi, COALESCE(v.id, 0) id
+  FROM (SELECT doc_id, wi, arr[wi] tok FROM tpos) t
+  LEFT JOIN vmap v ON v.piece = t.tok
+), ids AS (
+  SELECT doc_id, list(CAST(id AS VARCHAR) ORDER BY wi) arr
+  FROM mapped GROUP BY 1
+), g AS (
+  SELECT doc_id, s - 1 AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(arr[s:s+{n1}], ',')), 1, 15)) AS BIGINT) gh
+  FROM (SELECT doc_id, unnest(generate_series(1, len(arr) - {min_len} + 1)) s, arr
+        FROM ids WHERE len(arr) >= {min_len}) w
+), m AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) c FROM g
+), covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {n1})) p
+    FROM m WHERE c >= 2
+  ) t
+), spans AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE prev IS NULL OR p - prev > 1) n_dup_spans,
+         COUNT(*) n_removed
+  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) prev
+        FROM covered) x
+  GROUP BY 1
+), clean AS (
+  SELECT m.doc_id, string_agg(CAST(m.id AS VARCHAR), ' ' ORDER BY m.wi) s
+  FROM mapped m LEFT JOIN covered c ON m.doc_id = c.doc_id AND m.wi - 1 = c.p
+  WHERE c.p IS NULL GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(len(i.arr), 0) AS BIGINT) AS n_tok_in,
+       CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       md5(COALESCE(cl.s, '')) AS clean_ids_md5
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN ids i USING (doc_id)
+LEFT JOIN spans s USING (doc_id)
+LEFT JOIN clean cl USING (doc_id)
+"""
+
+
 def _bpe_learn_oracle(
     n_merges: int = 16, min_freq: int = 2, max_word_len: int = 16
 ) -> str:
@@ -2849,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "decontaminate_ids": q_decontaminate_ids,
         "dedup_runs": q_dedup_runs,
+        "dedup_token_runs": q_dedup_token_runs,
         # --- absent from the r04 artifact (last driver row r01-r03)
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2897,8 +2991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "winnowing": q_winnowing,
         "embedding_topk": q_embedding_topk,
+        # --- past the 50-key cap from here (dedup_token_runs' late
+        # addition pushed embedding_dups to position 51 — it carries
+        # r03+r04 green rows AND this round's dedicated interleaved
+        # A/B, see BENCH/BASELINE.md); the 16 below were rotated out
+        # deliberately, all with fresh r04 green rows + the local gate
         "embedding_dups": q_embedding_dups,
-        # --- rotated out this round (green r04 rows + local gate)
         "pricing_summary": q_pricing_summary,
         "grouped_stats": q_grouped_stats,
         "top_users": q_top_users,
@@ -2927,6 +3025,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learn": _bpe_learn_oracle(),
         "decontaminate_ids": _decontaminate_ids_oracle(),
         "dedup_runs": _dedup_spans_oracle_sql(16, False),
+        "dedup_token_runs": _dedup_token_runs_oracle(),
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lsh_topk": _lsh_topk_oracle(),

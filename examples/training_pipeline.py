@@ -138,6 +138,34 @@ def build_training_set(spark, sf_dir: str, out_dir: str) -> dict:
         ).alias("created"),
     )
 
+    # 3a. ids-space hygiene on the tokenized sequences — from here on
+    # the raw text is gone, so these are the passes an ids-only
+    # pipeline can still run: scrub duplicated ≥32-token id runs
+    # (ExactSubstr over the token stream — Lee et al.'s own
+    # formulation), then benchmark-overlapping 16-token id windows
+    # (catches contamination that only aligns after tokenization; the
+    # text-space pass at 2a2 dropped whole docs, this trims spans).
+    from feast_spark.pipeline.dedup_text import (
+        remove_duplicate_token_runs,
+        scrub_contaminated_token_spans,
+    )
+
+    bench_ids = tokenize_ids(bench).select("tokens")
+    seqs = (
+        remove_duplicate_token_runs(seqs, min_len=32, out_col="tokens_deduped")
+        .drop("tokens", "n_tok_in", "n_dup_spans", "n_removed_tokens")
+        .withColumnRenamed("tokens_deduped", "tokens")
+    )
+    seqs = (
+        scrub_contaminated_token_spans(
+            seqs, bench_ids, ngram=16, out_col="tokens_clean"
+        )
+        .drop("tokens", "n_tok_in", "n_hit_spans", "n_removed_tokens")
+        .withColumnRenamed("tokens_clean", "tokens")
+        .withColumn("n_tok", F.size("tokens"))
+        .filter(F.col("n_tok") > 0)
+    )
+
     # 4. materialize with lineage manifest (idempotent resume).
     # The curation DAG above (dedup pairs -> connected components ->
     # semi-joins) is deep; cut the lineage with a staging write so the

@@ -651,6 +651,66 @@ def remove_duplicate_runs(
     )
 
 
+def remove_duplicate_token_runs(
+    df: DataFrame,
+    min_len: int = 16,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    out_col: str = "tokens_deduped",
+    cache_grams: bool = True,
+) -> DataFrame:
+    """Ids-space min-length ExactSubstr: remove every token inside a
+    duplicated id run of length ≥ ``min_len`` (≥ ``min_count``
+    occurrences corpus-wide), ALL occurrences — the
+    ``remove_duplicate_runs`` threshold semantics applied directly to
+    the north-rule ``(doc_id, tokens:array<int>)`` shape, where the
+    raw text is gone. This is in fact CLOSER to Lee et al. 2022 than
+    the text-space variant: their suffix array runs over the tokenized
+    byte stream, i.e. ids — and the cover equivalence (position
+    covered by a duplicated ``min_len``-window ⟺ inside a duplicated
+    run ≥ ``min_len``) makes the fixed-gram marking exact here too.
+
+    Appended columns: ``n_tok_in``, ``n_dup_spans`` (maximal merged
+    removed intervals), ``n_removed_tokens``, ``out_col`` (the
+    scrubbed array — ids stay ids).
+
+    Plan for 100 TB: identical to ``remove_duplicate_spans``' round-5
+    skew-proof shape — codegen id-gram hashes over a persisted gram
+    stream (``cache_grams``), duplicate stats via a map-side-
+    combinable ``groupBy(gh)``, AQE broadcast/skew-split rejoin, one
+    per-doc hit fold."""
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would mark every span)")
+    for c in ("__elems", "__starts", "__covered"):
+        if c in df.columns:
+            raise ValueError(f"input already has internal column {c!r}")
+    base = df.withColumn("__elems", F.col(tokens_col))
+    grams = _id_span_grams(base, id_col, min_len)
+    if cache_grams:
+        grams = grams.persist()
+    stats = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    marked = grams.join(stats, "gh", "inner").select("__id", "pos")
+    return _span_scrub_output(
+        base,
+        marked,
+        id_col,
+        min_len,
+        span_count_col="n_dup_spans",
+        out_col=out_col,
+        arr_col="__elems",
+        count_col="n_tok_in",
+        removed_col="n_removed_tokens",
+        join_out=False,
+    )
+
+
 def scrub_contaminated_token_spans(
     df: DataFrame,
     benchmark: DataFrame,

@@ -173,6 +173,36 @@ def test_dedup_runs_matches_threshold_formulation(spark):
     check()
 
 
+def test_remove_duplicate_token_runs(spark):
+    from feast_spark.pipeline.dedup_text import remove_duplicate_token_runs
+
+    run = list(range(100, 106))  # duplicated 6-token run, >= min_len 4
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2] + run + [3]),
+            ("b", run + [4, 5, 6]),
+            ("c", [7, 8, 9, 10, 11]),  # unique
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_token_runs(df, min_len=4).collect()
+    }
+    # scrub-all: BOTH occurrences of the duplicated run are removed
+    assert list(out["a"]["tokens_deduped"]) == [1, 2, 3]
+    assert out["a"]["n_removed_tokens"] == 6 and out["a"]["n_dup_spans"] == 1
+    assert list(out["b"]["tokens_deduped"]) == [4, 5, 6]
+    assert out["b"]["n_removed_tokens"] == 6
+    assert list(out["c"]["tokens_deduped"]) == [7, 8, 9, 10, 11]
+    assert out["c"]["n_removed_tokens"] == 0
+    # the plan is Window-free (skew-proof agg+join form)
+    plan = remove_duplicate_token_runs(
+        df, min_len=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_dedup_spans_cache_grams_off_matches(spark):
     df = spark.createDataFrame(
         [
