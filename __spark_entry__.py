@@ -2191,8 +2191,12 @@ def q_dedup_token_runs(spark, sf_dir):
     from feast_spark.pipeline.dedup_text import remove_duplicate_token_runs
     from feast_spark.pipeline.tokenize import pieces_to_ids, wordpiece_tokenize
 
-    ids = wordpiece_tokenize(_docs(spark, sf_dir)).select(
-        "doc_id", pieces_to_ids(F.col("tokens")).alias("token_ids")
+    # persist: the tokenized frame feeds both the gram side and the
+    # scrub base — unpersisted, the Arrow UDF pass would run twice
+    ids = (
+        wordpiece_tokenize(_docs(spark, sf_dir))
+        .select("doc_id", pieces_to_ids(F.col("tokens")).alias("token_ids"))
+        .persist()
     )
     out = remove_duplicate_token_runs(
         ids, min_len=16, tokens_col="token_ids", out_col="ids_deduped"
@@ -2221,8 +2225,14 @@ def q_decontaminate_ids(spark, sf_dir):
     from feast_spark.pipeline.dedup_text import scrub_contaminated_token_spans
     from feast_spark.pipeline.tokenize import pieces_to_ids, wordpiece_tokenize
 
-    ids = wordpiece_tokenize(_docs(spark, sf_dir)).select(
-        "doc_id", pieces_to_ids(F.col("tokens")).alias("token_ids")
+    # persist: the tokenized frame feeds the gram side, the scrub base
+    # AND the benchmark subset — unpersisted, the Arrow UDF pass would
+    # run 3x (bench clears the cache between runs, so timings stay
+    # honest)
+    ids = (
+        wordpiece_tokenize(_docs(spark, sf_dir))
+        .select("doc_id", pieces_to_ids(F.col("tokens")).alias("token_ids"))
+        .persist()
     )
     bench = ids.filter(F.col("doc_id").cast("long") % 17 == 0)
     out = scrub_contaminated_token_spans(

@@ -564,7 +564,10 @@ def remove_duplicate_spans(
     hot-gram stress (one gram on 25% of 200k docs' positions) shows
     no single-task bind. ``cache_grams=False`` trades the
     materialization for a second codegen scan of the corpus (pick at
-    extreme scale when cache spill dominates). Then one per-doc
+    extreme scale when cache spill dominates); the persisted gram
+    stream stays cached until ``spark.catalog.clearCache()`` or app
+    end — same lifetime contract as the other persisted intermediates
+    (``lsh_candidate_pairs``' banded frame). Then one per-doc
     ``collect_list`` of marked starts (bounded by words-per-doc —
     chunk pathological documents first, same guidance as
     ``pack_sequences``); interval merge and text reconstruction are
