@@ -428,6 +428,40 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the events stream's JSON
+    ``props`` payload with a typed from_json schema (schema-on-read),
+    then aggregate per event_type. This is the BATCH path of the same
+    JsonToStructs decode the streaming processor applies to Kafka
+    payloads (streaming/processor.py) — previously pytest-only; JVM
+    expression end-to-end, no Python in the plan."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(F.sum(F.when(F.col("k") >= 50, F.col("value"))), 4).alias(
+            "value_high"
+        ),
+    )
+
+
+_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       ROUND(AVG(k), 6) AS avg_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       ROUND(SUM(CASE WHEN k >= 50 THEN value END), 4) AS value_high
+FROM (SELECT event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events) t
+GROUP BY event_type
+"""
+
+
 def q_customer_orders(spark, sf_dir):
     """Broadcast dim join + agg: order totals per market segment."""
     cust = _prep(spark).read.parquet(f"{sf_dir}/customer.parquet")
@@ -2953,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ids": q_decontaminate_ids,
         "dedup_runs": q_dedup_runs,
         "dedup_token_runs": q_dedup_token_runs,
+        "json_props": q_json_props,
         # --- absent from the r04 artifact (last driver row r01-r03)
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3000,12 +3035,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "winnowing": q_winnowing,
+        # --- past the 50-key cap from here (the late round-5
+        # additions dedup_token_runs + json_props pushed
+        # embedding_topk/embedding_dups to positions 51/52 — both carry
+        # r03+r04 green rows, and embedding_dups additionally has this
+        # round's dedicated interleaved A/B, see BENCH/BASELINE.md);
+        # the 16 below were rotated out deliberately, all with fresh
+        # r04 green rows + the local gate
         "embedding_topk": q_embedding_topk,
-        # --- past the 50-key cap from here (dedup_token_runs' late
-        # addition pushed embedding_dups to position 51 — it carries
-        # r03+r04 green rows AND this round's dedicated interleaved
-        # A/B, see BENCH/BASELINE.md); the 16 below were rotated out
-        # deliberately, all with fresh r04 green rows + the local gate
         "embedding_dups": q_embedding_dups,
         "pricing_summary": q_pricing_summary,
         "grouped_stats": q_grouped_stats,
@@ -3036,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ids": _decontaminate_ids_oracle(),
         "dedup_runs": _dedup_spans_oracle_sql(16, False),
         "dedup_token_runs": _dedup_token_runs_oracle(),
+        "json_props": _JSON_PROPS_ORACLE,
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
