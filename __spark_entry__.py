@@ -1273,6 +1273,28 @@ def q_odfv_adjusted(spark, sf_dir):
     return out.select("spine_id", "user_id", "ts_epoch", "adjusted_value")
 
 
+def q_odfv_sql(spark, sf_dir):
+    """SQL-mode on-demand transformation (reference
+    transformation/spark_transformation.py:104-119 SQL mode): the same
+    post-retrieval adjustment as odfv_adjusted, declared as a SQL
+    string over the retrieval output — pure Catalyst expressions, no
+    UDF in the plan. Driver-gates _apply_odfv's sql dispatch
+    (previously pytest-only); shares odfv_adjusted's oracle because
+    the two modes must agree by construction."""
+    from feast_spark.core.feature_view import Field, OnDemandFeatureView
+    from feast_spark.core.store import _apply_odfv
+
+    base = q_pit_latest_click(spark, sf_dir)
+    odfv = OnDemandFeatureView(
+        name="adjusted_sql",
+        udf="SELECT *, click_value * 2.0 + 1.0 AS adjusted_value FROM {input}",
+        schema=[Field("adjusted_value", "double")],
+        mode="sql",
+    )
+    out = _apply_odfv(base, odfv, None, False)
+    return out.select("spine_id", "user_id", "ts_epoch", "adjusted_value")
+
+
 _ODFV_ORACLE = """
 WITH spine AS (
   SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -2988,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_runs": q_dedup_runs,
         "dedup_token_runs": q_dedup_token_runs,
         "json_props": q_json_props,
+        "odfv_sql": q_odfv_sql,
         # --- absent from the r04 artifact (last driver row r01-r03)
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3034,14 +3057,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
-        "winnowing": q_winnowing,
         # --- past the 50-key cap from here (the late round-5
-        # additions dedup_token_runs + json_props pushed
-        # embedding_topk/embedding_dups to positions 51/52 — both carry
-        # r03+r04 green rows, and embedding_dups additionally has this
-        # round's dedicated interleaved A/B, see BENCH/BASELINE.md);
-        # the 16 below were rotated out deliberately, all with fresh
-        # r04 green rows + the local gate
+        # additions pushed winnowing/embedding_topk/embedding_dups to
+        # positions 51-53 — all carry r03+r04 green rows, and
+        # embedding_dups additionally has this round's dedicated
+        # interleaved A/B, see BENCH/BASELINE.md); the 16 below were
+        # rotated out deliberately, all with fresh r04 green rows +
+        # the local gate re-verifying every registered query
+        "winnowing": q_winnowing,
         "embedding_topk": q_embedding_topk,
         "embedding_dups": q_embedding_dups,
         "pricing_summary": q_pricing_summary,
@@ -3074,6 +3097,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_runs": _dedup_spans_oracle_sql(16, False),
         "dedup_token_runs": _dedup_token_runs_oracle(),
         "json_props": _JSON_PROPS_ORACLE,
+        "odfv_sql": _ODFV_ORACLE,
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
