@@ -1273,6 +1273,90 @@ def q_odfv_adjusted(spark, sf_dir):
     return out.select("spine_id", "user_id", "ts_epoch", "adjusted_value")
 
 
+def q_derived_view(spark, sf_dir):
+    """Derived-view DAG + DataFrame-mode view transformation through
+    the full FeatureStore.get_historical_features path (reference
+    feature_view.py:166-205 source_views / spark_transformation.py
+    DataFrame mode — both previously pytest-only at the driver gate):
+    a base click view plus a derived child whose transformation
+    computes 2x+1 of the click value; the purchase spine pulls base
+    AND derived features in one multi-view retrieval. Tie-breaking is
+    deterministic via created = timestamp_seconds(event_id) (max
+    created wins, replaying the other PIT queries' event_id
+    tie-break)."""
+    from datetime import timedelta
+
+    from feast_spark.core.feature_view import Entity, FeatureView
+    from feast_spark.core.source import DataFrameSource
+    from feast_spark.core.store import FeatureStore
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("value").alias("click_value"),
+        F.timestamp_seconds(F.col("event_id")).alias("created"),
+    )
+    store = FeatureStore(spark)
+    base = FeatureView(
+        name="clicks",
+        source=DataFrameSource(df=clicks, created_timestamp_column="created"),
+        entities=[Entity("user_id")],
+        ttl=timedelta(days=7),
+    )
+
+    def adjust(df):
+        return df.withColumn(
+            "click_adj", F.col("click_value") * 2.0 + 1.0
+        ).select("user_id", "event_timestamp", "created", "click_adj")
+
+    child = FeatureView(
+        name="clicks_adj",
+        source=DataFrameSource(df=None, created_timestamp_column="created"),
+        entities=[Entity("user_id")],
+        source_views=[base],
+        udf=adjust,
+        ttl=timedelta(days=7),
+    )
+    store.apply([base, child])
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    got = store.get_historical_features(
+        spine, ["clicks:click_value", "clicks_adj:click_adj"]
+    ).to_spark_df()
+    return got.select(
+        "spine_id",
+        "user_id",
+        _epoch("event_timestamp").alias("ts_epoch"),
+        "click_value",
+        "click_adj",
+    )
+
+
+_DERIVED_VIEW_ORACLE = """
+WITH spine AS (
+  SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid
+                            ORDER BY f.ts DESC, f.event_id DESC) rn
+  FROM spine s JOIN events f
+    ON f.event_type = 'click' AND f.user_id = s.user_id
+   AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 7 DAY
+)
+SELECT CAST(s.sid AS BIGINT) AS spine_id,
+       CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       r.value AS click_value,
+       r.value * 2.0 + 1.0 AS click_adj
+FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r
+  ON r.sid = s.sid
+"""
+
+
 def q_odfv_sql(spark, sf_dir):
     """SQL-mode on-demand transformation (reference
     transformation/spark_transformation.py:104-119 SQL mode): the same
@@ -3011,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_runs": q_dedup_token_runs,
         "json_props": q_json_props,
         "odfv_sql": q_odfv_sql,
+        "derived_view": q_derived_view,
         # --- absent from the r04 artifact (last driver row r01-r03)
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3056,14 +3141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash,
         "simhash": q_simhash,
+        # --- past the 50-key cap from here (the 7 late round-5
+        # additions pushed ngram_jaccard/winnowing/embedding_topk/
+        # embedding_dups to positions 51-54 — all carry r01-r04 green
+        # driver rows, and embedding_dups additionally has this
+        # round's dedicated interleaved A/B, see BENCH/BASELINE.md);
+        # the 16 below were rotated out deliberately, all with fresh
+        # r04 green rows + the local gate re-verifying every
+        # registered query
         "ngram_jaccard": q_ngram_jaccard,
-        # --- past the 50-key cap from here (the late round-5
-        # additions pushed winnowing/embedding_topk/embedding_dups to
-        # positions 51-53 — all carry r03+r04 green rows, and
-        # embedding_dups additionally has this round's dedicated
-        # interleaved A/B, see BENCH/BASELINE.md); the 16 below were
-        # rotated out deliberately, all with fresh r04 green rows +
-        # the local gate re-verifying every registered query
         "winnowing": q_winnowing,
         "embedding_topk": q_embedding_topk,
         "embedding_dups": q_embedding_dups,
@@ -3098,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_runs": _dedup_token_runs_oracle(),
         "json_props": _JSON_PROPS_ORACLE,
         "odfv_sql": _ODFV_ORACLE,
+        "derived_view": _DERIVED_VIEW_ORACLE,
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
