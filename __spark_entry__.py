@@ -1336,6 +1336,70 @@ def q_derived_view(spark, sf_dir):
     )
 
 
+def q_entityless(spark, sf_dir):
+    """Entityless / dummy-entity PIT retrieval (reference
+    feature_view.py DUMMY_ENTITY convention): a global feature stream
+    with NO join key — the latest 'error' value corpus-wide — enriched
+    onto every purchase spine row by pure as-of semantics (previously
+    pytest-only at the driver gate). Same deterministic tie-break as
+    the other store queries (created = timestamp_seconds(event_id))."""
+    from datetime import timedelta
+
+    from feast_spark.core.feature_view import FeatureView
+    from feast_spark.core.source import DataFrameSource
+    from feast_spark.core.store import FeatureStore
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("ts").alias("event_timestamp"),
+        F.col("value").alias("error_value"),
+        F.timestamp_seconds(F.col("event_id")).alias("created"),
+    )
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="global_errors",
+            source=DataFrameSource(df=errors, created_timestamp_column="created"),
+            entities=[],
+            ttl=timedelta(days=7),
+        )
+    )
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    got = store.get_historical_features(
+        spine, ["global_errors:error_value"]
+    ).to_spark_df()
+    return got.select(
+        "spine_id",
+        "user_id",
+        _epoch("event_timestamp").alias("ts_epoch"),
+        "error_value",
+    )
+
+
+_ENTITYLESS_ORACLE = """
+WITH spine AS (
+  SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT s.sid, f.value,
+         ROW_NUMBER() OVER (PARTITION BY s.sid
+                            ORDER BY f.ts DESC, f.event_id DESC) rn
+  FROM spine s JOIN events f
+    ON f.event_type = 'error'
+   AND f.ts <= s.ts AND f.ts >= s.ts - INTERVAL 7 DAY
+)
+SELECT CAST(s.sid AS BIGINT) AS spine_id,
+       CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_epoch,
+       r.value AS error_value
+FROM spine s LEFT JOIN (SELECT sid, value FROM ranked WHERE rn = 1) r
+  ON r.sid = s.sid
+"""
+
+
 _DERIVED_VIEW_ORACLE = """
 WITH spine AS (
   SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -3096,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "odfv_sql": q_odfv_sql,
         "derived_view": q_derived_view,
+        "entityless": q_entityless,
         # --- absent from the r04 artifact (last driver row r01-r03)
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3140,15 +3205,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash,
+        # --- past the 50-key cap from here (the 8 late round-5
+        # additions pushed simhash/ngram_jaccard/winnowing/
+        # embedding_topk/embedding_dups to positions 51-55 — all carry
+        # r01-r04 green driver rows, and embedding_dups additionally
+        # has this round's dedicated interleaved A/B, see
+        # BENCH/BASELINE.md); the 16 below were rotated out
+        # deliberately, all with fresh r04 green rows + the local gate
+        # re-verifying every registered query
         "simhash": q_simhash,
-        # --- past the 50-key cap from here (the 7 late round-5
-        # additions pushed ngram_jaccard/winnowing/embedding_topk/
-        # embedding_dups to positions 51-54 — all carry r01-r04 green
-        # driver rows, and embedding_dups additionally has this
-        # round's dedicated interleaved A/B, see BENCH/BASELINE.md);
-        # the 16 below were rotated out deliberately, all with fresh
-        # r04 green rows + the local gate re-verifying every
-        # registered query
         "ngram_jaccard": q_ngram_jaccard,
         "winnowing": q_winnowing,
         "embedding_topk": q_embedding_topk,
@@ -3185,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": _JSON_PROPS_ORACLE,
         "odfv_sql": _ODFV_ORACLE,
         "derived_view": _DERIVED_VIEW_ORACLE,
+        "entityless": _ENTITYLESS_ORACLE,
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lsh_topk": _lsh_topk_oracle(),

@@ -250,6 +250,20 @@ def point_in_time_join(
     if not join_keys:
         # Entityless view (reference DUMMY_ENTITY, feature_view.py:49-58):
         # degrade to an as-of join on timestamp alone via a constant key.
+        # STRATEGY OVERRIDE: the dummy entity is the ultimate hot key —
+        # every spine row and every feature row share it, so the
+        # conditional-join strategies materialize the full
+        # spine × features-within-TTL pair set on ONE task (quadratic:
+        # 20k spine × 4k in-window rows ≈ 80M pair rows at sf0.1, >60 s
+        # measured). The cogrouped Arrow merge_asof is linear for a
+        # single group (one sort + one merge pass, ~1 s on the same
+        # input), so entityless always routes there unless the caller
+        # explicitly forced a join strategy. A 10⁹-row spine would
+        # still serialize on the one group — at that scale
+        # range-partition the spine by time and interval-join against
+        # the (small) global timeline; out of scope here because a
+        # global timeline's consumers are bounded by the spine sort
+        # either way.
         spine = spine.withColumn(DUMMY_ENTITY_COL, F.lit(""))
         features = features.withColumn(DUMMY_ENTITY_COL, F.lit(""))
         out = point_in_time_join(
@@ -261,7 +275,7 @@ def point_in_time_join(
             feature_ts_col=feature_ts_col,
             created_col=created_col,
             ttl_seconds=ttl_seconds,
-            strategy=strategy,
+            strategy="merge_asof" if strategy in ("auto", "join_dedup") else strategy,
             include_feature_ts=include_feature_ts,
             tie_breaker_cols=tie_breaker_cols,
             spine_assume_unique=spine_assume_unique,
