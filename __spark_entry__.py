@@ -1380,6 +1380,43 @@ def q_entityless(spark, sf_dir):
     )
 
 
+def q_entityless_range(spark, sf_dir):
+    """The same entityless as-of as `entityless`, on the fully
+    distributed range_union physical strategy (range-partitioned
+    union + per-partition carry-in — no single-task stage at ANY
+    spine size, closing the merge_asof path's documented one-group
+    bound). Shares `entityless`'s oracle: the two driver rows
+    together pin cross-strategy equivalence at the gate."""
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    ev = _events(spark, sf_dir)
+    errors = ev.filter("event_type = 'error'").select(
+        F.col("ts").alias("event_timestamp"),
+        F.col("value").alias("error_value"),
+        F.timestamp_seconds(F.col("event_id")).alias("created"),
+    )
+    spine = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("spine_id"),
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+    )
+    out = point_in_time_join(
+        spine,
+        errors,
+        [],
+        ["error_value"],
+        created_col="created",
+        ttl_seconds=TTL_7D,
+        strategy="range_union",
+    )
+    return out.select(
+        "spine_id",
+        "user_id",
+        _epoch("event_timestamp").alias("ts_epoch"),
+        "error_value",
+    )
+
+
 _ENTITYLESS_ORACLE = """
 WITH spine AS (
   SELECT event_id sid, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -3161,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odfv_sql": q_odfv_sql,
         "derived_view": q_derived_view,
         "entityless": q_entityless,
+        "entityless_range": q_entityless_range,
         # --- absent from the r04 artifact (last driver row r01-r03)
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -3204,15 +3242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_backfill": q_pit_backfill,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "minhash_signatures": q_minhash,
-        # --- past the 50-key cap from here (the 8 late round-5
-        # additions pushed simhash/ngram_jaccard/winnowing/
-        # embedding_topk/embedding_dups to positions 51-55 — all carry
-        # r01-r04 green driver rows, and embedding_dups additionally
-        # has this round's dedicated interleaved A/B, see
+        # --- past the 50-key cap from here (the 9 late round-5
+        # additions pushed minhash_signatures/simhash/ngram_jaccard/
+        # winnowing/embedding_topk/embedding_dups to positions 51-56 —
+        # all carry r01-r04 green driver rows, and embedding_dups
+        # additionally has this round's dedicated interleaved A/B, see
         # BENCH/BASELINE.md); the 16 below were rotated out
         # deliberately, all with fresh r04 green rows + the local gate
         # re-verifying every registered query
+        "minhash_signatures": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "winnowing": q_winnowing,
@@ -3251,6 +3289,7 @@ def oracle_sql() -> dict[str, str]:
         "odfv_sql": _ODFV_ORACLE,
         "derived_view": _DERIVED_VIEW_ORACLE,
         "entityless": _ENTITYLESS_ORACLE,
+        "entityless_range": _ENTITYLESS_ORACLE,
         "lsh_dup_pairs": _lsh_dup_pairs_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "lsh_topk": _lsh_topk_oracle(),

@@ -179,6 +179,111 @@ def _with_row_id(spine: DataFrame, assume_unique: bool | str | None = None) -> D
     return fast.unionByName(slow)
 
 
+def _entityless_range_union(
+    spine: DataFrame,
+    features: DataFrame,
+    feature_cols: Sequence[str],
+    *,
+    spine_ts_col: str,
+    feature_ts_col: str,
+    created_col: str | None,
+    ttl_seconds: int | None,
+    include_feature_ts: bool,
+    tie_breaker_cols: Sequence[str],
+) -> DataFrame:
+    """Entityless as-of join with NO single-task stage — the
+    10⁹-row-spine scale path (``strategy="range_union"``).
+
+    Algorithm: tag feature and spine rows, union them, range-partition
+    the union by timestamp, and within each range partition take the
+    running ``last(feature, ignorenulls)`` in (ts, kind, created,
+    tie-break) order — features sort before spine rows at equal ts
+    (inclusive upper bound) and ascending created/tie-breaks make the
+    last feature the max-created one. Rows whose partition starts
+    after the last feature of earlier partitions get a CARRY-IN: one
+    max-by row per partition (a ≤ #partitions frame), cumulated with a
+    tiny single-task window (bounded by the partition count, never by
+    data), broadcast back. TTL is a final null-out on the carried
+    feature timestamp. Every stage is bounded: the big frames see one
+    range shuffle + one per-partition window; no group ever holds more
+    than its time slice. Output values are invariant to the (sampled,
+    possibly nondeterministic) range boundaries — a carry-in is
+    exactly what the window would have seen in a coarser partitioning.
+    Ties beyond (ts, created, tie_breaker_cols) are resolved
+    arbitrarily — the same tie class as the join/window strategies."""
+    reserved = ("__ts", "__f", "__row", "__pid", "__last", "__carry", "__best")
+    clash = [c for c in spine.columns if c in reserved]
+    if clash:
+        raise ValueError(f"spine columns {clash} collide with range_union internals")
+    tbs = list(tie_breaker_cols or [])
+    order_fields = [F.col(feature_ts_col).alias("__fts")]
+    if created_col:
+        order_fields.append(F.col(created_col).alias("__created"))
+    order_fields += [F.col(c).alias(f"__tb{i}") for i, c in enumerate(tbs)]
+    payload = [F.col(c).alias(f"__v_{c}") for c in feature_cols]
+    feats = features.filter(F.col(feature_ts_col).isNotNull()).select(
+        F.col(feature_ts_col).alias("__ts"),
+        F.struct(*order_fields, *payload).alias("__f"),
+    )
+    spine_cols = list(spine.columns)
+    sp = spine.select(
+        F.col(spine_ts_col).alias("__ts"),
+        F.struct(*[F.col(c) for c in spine_cols]).alias("__row"),
+    )
+    u = feats.withColumn(
+        "__row", F.lit(None).cast(sp.schema["__row"].dataType)
+    ).unionByName(sp.withColumn("__f", F.lit(None).cast(feats.schema["__f"].dataType)))
+    u = u.repartitionByRange(F.col("__ts")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    order_cols = [F.col("__ts").asc(), F.col("__f").isNull().cast("int").asc()]
+    if created_col:
+        order_cols.append(F.col("__f.__created").asc_nulls_first())
+    for i in range(len(tbs)):
+        order_cols.append(F.col(f"__f.__tb{i}").asc_nulls_first())
+    w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = u.withColumn("__last", F.last("__f", ignorenulls=True).over(w))
+    okey = F.struct(
+        F.col("__ts"),
+        *([F.col("__f.__created")] if created_col else []),
+        *[F.col(f"__f.__tb{i}") for i in range(len(tbs))],
+    )
+    per_pid = (
+        u.filter(F.col("__f").isNotNull())
+        .groupBy("__pid")
+        .agg(F.max_by("__f", okey).alias("__m"))
+    )
+    # carry frame: ONE row per range partition — its single-task window
+    # is bounded by spark.sql.shuffle.partitions, not by the data
+    cw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        u.select("__pid")
+        .distinct()
+        .join(per_pid, "__pid", "left")
+        .withColumn("__carry", F.last("__m", ignorenulls=True).over(cw))
+        .select("__pid", "__carry")
+    )
+    out = (
+        u.filter(F.col("__row").isNotNull())
+        .join(F.broadcast(carry), "__pid", "left")
+        .withColumn("__best", F.coalesce("__last", "__carry"))
+    )
+    valid = F.col("__best").isNotNull()
+    if ttl_seconds and ttl_seconds > 0:
+        valid = valid & (
+            F.col("__best.__fts")
+            >= F.col("__ts") - F.expr(f"INTERVAL {int(ttl_seconds)} SECONDS")
+        )
+    best = F.when(valid, F.col("__best"))
+    sel = [F.col("__row").getField(c).alias(c) for c in spine_cols]
+    sel += [best.getField(f"__v_{c}").alias(c) for c in feature_cols]
+    if include_feature_ts:
+        sel.append(best.getField("__fts").alias("__feature_ts"))
+    return out.select(*sel)
+
+
 def _ttl_lower_bound(ts_col: str, entity_ts: Column, ttl_seconds: int | None) -> Column:
     cond = F.col(ts_col) <= entity_ts
     if ttl_seconds and ttl_seconds > 0:
@@ -259,11 +364,23 @@ def point_in_time_join(
         # single group (one sort + one merge pass, ~1 s on the same
         # input), so entityless always routes there unless the caller
         # explicitly forced a join strategy. A 10⁹-row spine would
-        # still serialize on the one group — at that scale
-        # range-partition the spine by time and interval-join against
-        # the (small) global timeline; out of scope here because a
-        # global timeline's consumers are bounded by the spine sort
-        # either way.
+        # still serialize on the one group — pass
+        # strategy="range_union" for the fully distributed path
+        # (range-partitioned union + per-partition carry-in,
+        # _entityless_range_union below): no single-task stage at any
+        # spine size.
+        if strategy == "range_union":
+            return _entityless_range_union(
+                spine,
+                features,
+                _cols_now,
+                spine_ts_col=spine_ts_col,
+                feature_ts_col=feature_ts_col,
+                created_col=created_col,
+                ttl_seconds=ttl_seconds,
+                include_feature_ts=include_feature_ts,
+                tie_breaker_cols=tie_breaker_cols,
+            )
         spine = spine.withColumn(DUMMY_ENTITY_COL, F.lit(""))
         features = features.withColumn(DUMMY_ENTITY_COL, F.lit(""))
         out = point_in_time_join(

@@ -203,6 +203,101 @@ def test_remove_duplicate_token_runs(spark):
     assert "Window" not in plan
 
 
+def _sorted_rows(df):
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_entityless_range_union_matches_merge_asof(spark):
+    from datetime import datetime, timedelta
+
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    t0 = datetime(2024, 1, 1)
+    feats = spark.createDataFrame(
+        [
+            # duplicate ts, created breaks the tie (idx 1 must win)
+            (t0 + timedelta(hours=1), t0 + timedelta(minutes=1), 10.0),
+            (t0 + timedelta(hours=1), t0 + timedelta(minutes=2), 11.0),
+            (t0 + timedelta(hours=5), t0 + timedelta(minutes=3), 50.0),
+            (t0 + timedelta(days=3), t0 + timedelta(minutes=4), 99.0),
+        ],
+        "event_timestamp timestamp, created timestamp, gval double",
+    )
+    spine = spark.createDataFrame(
+        [
+            (1, t0),                          # before any feature -> null
+            (2, t0 + timedelta(hours=1)),     # equal ts: inclusive, max-created
+            (3, t0 + timedelta(hours=6)),     # between features
+            (4, t0 + timedelta(days=2)),      # TTL(1d) expires the hour-5 row
+            (5, t0 + timedelta(days=4)),      # latest feature
+        ],
+        "sid long, event_timestamp timestamp",
+    )
+    kw = dict(
+        created_col="created", ttl_seconds=86400, include_feature_ts=True
+    )
+    a = point_in_time_join(
+        spine, feats, [], ["gval"], strategy="merge_asof", **kw
+    )
+    b = point_in_time_join(
+        spine, feats, [], ["gval"], strategy="range_union", **kw
+    )
+    assert _sorted_rows(a.select("sid", "gval", "__feature_ts")) == _sorted_rows(
+        b.select("sid", "gval", "__feature_ts")
+    )
+    got = {r["sid"]: r["gval"] for r in b.collect()}
+    assert got == {1: None, 2: 11.0, 3: 50.0, 4: None, 5: 99.0}
+
+
+def test_entityless_range_union_empty_features(spark):
+    from datetime import datetime
+
+    from feast_spark.operators.asof_join import point_in_time_join
+
+    spine = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1))], "sid long, event_timestamp timestamp"
+    )
+    feats = spark.createDataFrame(
+        [], "event_timestamp timestamp, created timestamp, gval double"
+    )
+    out = point_in_time_join(
+        spine, feats, [], ["gval"], created_col="created", strategy="range_union"
+    ).collect()
+    assert len(out) == 1 and out[0]["gval"] is None
+
+
+def test_entityless_range_union_matches_merge_asof_bulk(spark):
+    # 5k spine x 2k features across many range partitions: carry-in
+    # rows must reproduce the single-group merge exactly
+    from feast_spark.operators.asof_join import point_in_time_join
+    from pyspark.sql import functions as SF
+
+    feats = (
+        spark.range(2000)
+        .select(
+            SF.timestamp_seconds(1700000000 + SF.col("id") * 311).alias(
+                "event_timestamp"
+            ),
+            SF.timestamp_seconds(1700000000 + SF.col("id")).alias("created"),
+            (SF.col("id") * 1.5).alias("gval"),
+        )
+    )
+    spine = spark.range(5000).select(
+        SF.col("id").alias("sid"),
+        SF.timestamp_seconds(1700000000 + SF.pmod(SF.col("id") * 7919, SF.lit(700000))).alias(
+            "event_timestamp"
+        ),
+    )
+    kw = dict(created_col="created", ttl_seconds=7 * 86400)
+    a = point_in_time_join(spine, feats, [], ["gval"], strategy="merge_asof", **kw)
+    b = point_in_time_join(spine, feats, [], ["gval"], strategy="range_union", **kw)
+    assert _sorted_rows(a.select("sid", "gval")) == _sorted_rows(
+        b.select("sid", "gval")
+    )
+
+
 def test_dedup_spans_cache_grams_off_matches(spark):
     df = spark.createDataFrame(
         [
